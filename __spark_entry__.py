@@ -3,36 +3,122 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every entry here maps to a SURVEY.md §2 operator; the Spark
+implementation lives in open_source_search_engine_spark/ and the
+DuckDB oracle text in plans/oracle_sql.py so the two stay in lockstep.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
+from open_source_search_engine_spark.operators import dedup, similarity, textstats
+from open_source_search_engine_spark.operators.postings import doc_tokens
+from open_source_search_engine_spark.operators.stats import doc_meta
+from open_source_search_engine_spark.plans import oracle_sql as osql
+
+FLAGSHIP_TERMS = ["join", "hash"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a 2-term AND query on sf0.001."""
+    return bm25.bm25_topk_oracle(_docs(spark, "/root/testdata/sf0.001"), FLAGSHIP_TERMS, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- full-text core (SURVEY §2.2-2.7) ---
+        "bm25_topk": lambda s, d: bm25.bm25_topk_oracle(_docs(s, d), FLAGSHIP_TERMS, k=10),
+        "bm25_topk_or": lambda s, d: bm25.bm25_topk_oracle(
+            _docs(s, d), ["dup", "merge"], k=10, mode="or"
+        ),
+        "bm25_lang_filter": lambda s, d: bm25.bm25_topk_oracle(
+            _docs(s, d), FLAGSHIP_TERMS, k=10,
+            candidate_filter=(_lang_col() == "en"),
+        ),
+        "term_lookup": lambda s, d: boolean.term_lookup(_docs(s, d), "dup"),
+        "and_intersect": lambda s, d: boolean.and_intersect(_docs(s, d), ["join", "hash", "scan"]),
+        "or_union": lambda s, d: boolean.or_union(_docs(s, d), ["dup", "key"]),
+        "not_exclude": lambda s, d: boolean.not_exclude(_docs(s, d), "dup", "join"),
+        "numeric_range": lambda s, d: boolean.numeric_range(
+            _docs(s, d), "dup", "n_chars", 100, 300
+        ),
+        "facets_lang": lambda s, d: facets.facet_counts(_docs(s, d), ["dup"], "lang"),
+        "term_stats": lambda s, d: _term_stats_q(s, d),
+        "doc_meta_invariant": lambda s, d: _doc_meta_q(s, d),
+        "topk_sitecap": lambda s, d: ranking.topk_sitecap(_docs(s, d), FLAGSHIP_TERMS, k=10, cap=2),
+        "pagination": lambda s, d: ranking.paginate(_docs(s, d), FLAGSHIP_TERMS, offset=10, limit=10),
+        "sortby_field": lambda s, d: ranking.sort_by_field(_docs(s, d), ["dup"], "n_chars", k=10),
+        "phrase_bigram": lambda s, d: phrase.phrase_bigram(_docs(s, d), "join", "hash"),
+    }
+    q.update(dedup.driver_queries())
+    q.update(similarity.driver_queries())
+    q.update(textstats.driver_queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
+        "bm25_topk_or": osql.bm25_topk_sql(["dup", "merge"], k=10, mode="or"),
+        "bm25_lang_filter": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and", lang="en"),
+        "term_lookup": osql.term_lookup_sql("dup"),
+        "and_intersect": osql.and_intersect_sql(["join", "hash", "scan"]),
+        "or_union": osql.or_union_sql(["dup", "key"]),
+        "not_exclude": osql.not_exclude_sql("dup", "join"),
+        "numeric_range": osql.numeric_range_sql("dup", 100, 300),
+        "facets_lang": osql.facets_sql(["dup"], "lang"),
+        "term_stats": osql.term_stats_sql(),
+        "doc_meta_invariant": osql.doc_meta_sql(),
+        "topk_sitecap": osql.topk_sitecap_sql(FLAGSHIP_TERMS, k=10, cap=2),
+        "pagination": osql.pagination_sql(FLAGSHIP_TERMS, offset=10, limit=10),
+        "sortby_field": osql.sortby_sql(["dup"], "n_chars", k=10),
+        "phrase_bigram": osql.phrase_bigram_sql("join", "hash"),
+    }
+    o.update(dedup.driver_oracles())
+    o.update(similarity.driver_oracles())
+    o.update(textstats.driver_oracles())
+    return o
+
+
+# -- helpers (kept tiny; real logic lives in the package) --
+
+def _lang_col():
+    from pyspark.sql import functions as F
+
+    return F.col("lang")
+
+
+def _term_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.operators.stats import term_stats
+    from open_source_search_engine_spark.operators.postings import postings
+
+    docs = _docs(spark, sf_dir)
+    posts = postings(doc_tokens(docs), with_positions=False)
+    return term_stats(posts).select("term", "df").orderBy("term")
+
+
+def _doc_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = doc_tokens(docs)
+    return doc_meta(docs, toks).select("doc_id", "doc_len", "content_sha256").orderBy("doc_id")

@@ -1,0 +1,416 @@
+"""Deduplication operators for training-data pipelines.
+
+Reference precedent: Gigablast dedups results by content hash at query
+time (Msg40 dedup, SURVEY.md §2.2 F7) and clusters by site
+(Clusterdb); a 100 TB corpus pipeline needs the build-time versions:
+
+* exact        — hash-groupBy on content digest (one shuffle)
+* n-gram Jaccard — shingle self-join candidate pairs + exact verify
+* MinHash+LSH  — signature → band → bucket-join (the scale path: the
+  self-join touches only same-band buckets, never all pairs)
+* SimHash      — bitwise fingerprint + banded near-dup join
+
+Portability trick for the DuckDB oracles: MinHash uses the
+LEXICOGRAPHIC MIN OF md5 HEX STRINGS as the hash-family member
+(seeded by prefixing `{seed}:`), and SimHash uses the high bit of each
+md5 nibble — md5 is identical in Spark and DuckDB, so both engines
+compute byte-identical signatures with zero custom UDFs.
+
+Skew note (100 TB): the shingle self-join key is the shingle itself;
+Zipf-head shingles (boilerplate) explode the join. `max_shingle_df`
+drops shingles appearing in more than that many docs — standard
+stop-shingle removal; at scale you would set it ~O(corpus/10^4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+SIMHASH_BITS = 32
+_HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct n-gram token shingles."""
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")).alias("toks"),
+    ).filter(F.size("toks") >= n)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+_SHINGLES_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+)"""
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(content_md5, n_dups, keeper_doc_id) — exact duplicate groups;
+    keeper is the min doc_id (deterministic survivor pick)."""
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("content_md5")
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """SELECT md5(text) AS content_md5,
+       COUNT(*)::BIGINT AS n_dups,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_md5"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold.
+    (doc_id_a, doc_id_b, jaccard)."""
+    sh = _shingles(docs, n)
+    if max_shingle_df:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "na"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "nb"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""{_SHINGLES_SQL}, sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 5) AS jaccard
+FROM inter
+JOIN sz sa ON doc_id_a = sa.doc_id
+JOIN sz sb ON doc_id_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+ORDER BY doc_id_a, doc_id_b"""
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, m0..m{n-1}) — portable string-min MinHash signature."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """MinHash → LSH band buckets → candidate pairs → exact-Jaccard
+    verify. Only same-bucket docs are ever paired: the join cost is
+    O(bucket²) not O(corpus²) — this is the 100 TB dedup path."""
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"m{bi * rows + r}") for r in range(rows)]
+                            ).cast("binary")
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.select(F.col("doc_id").alias("doc_id_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    # exact verify on the candidates only: shared-shingle join
+    # restricted (left-semi) to candidate pairs — shuffle-friendly
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .join(cands, ["doc_id_a", "doc_id_b"], "left_semi")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "na"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "nb"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.5, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> str:
+    rows = n_hashes // n_bands
+    mins = ",\n         ".join(
+        f"MIN(md5('{s}:' || shingle)) AS m{s}" for s in range(n_hashes)
+    )
+    sep = " || '|' || "
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_id, md5({expr}) AS band_key FROM sigs".format(
+            bi=bi, expr=sep.join(f"m{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(n_bands)
+    )
+    return f"""{_SHINGLES_SQL}, sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cands c ON c.doc_id_a = a.doc_id AND c.doc_id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 5) AS jaccard
+FROM inter
+JOIN sz sa ON doc_id_a = sa.doc_id
+JOIN sz sb ON doc_id_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
+ORDER BY doc_id_a, doc_id_b"""
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash as a {bits}-char
+    '0'/'1' string (bit j = high bit of md5 nibble j, portable across
+    engines)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.withColumn("h", F.md5(F.col("term").cast("binary")))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.substring("h", j + 1, 1).isin(list(_HI_NIBBLE)), F.col("tf")
+                ).otherwise(-F.col("tf"))
+            )
+            > 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sigs = tf.groupBy("doc_id").agg(*bit_aggs)
+    return sigs.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(bits)]).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    hi = ", ".join(f"'{c}'" for c in _HI_NIBBLE)
+    bit_exprs = ",\n       ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN tf ELSE -tf END) > 0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(bits)
+    )
+    concat = " || ".join(f"b{j}" for j in range(bits))
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf, md5(term) AS h
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), sigs AS (
+  SELECT doc_id,
+       {bit_exprs}
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash FROM sigs ORDER BY doc_id"""
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by SimHash: banded candidate join (4 bands of
+    bits/4 — two sigs within hamming≤3 must agree on ≥1 band), then
+    exact hamming verify. (doc_id_a, doc_id_b, hamming)."""
+    sigs = simhash(docs, bits)
+    band_w = bits // 4
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.substring("simhash", bi * band_w + 1, band_w).alias("band_key"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_key"
+    )
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)).cast("int")
+        for j in range(bits)
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def simhash_near_dup_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    hi = ", ".join(f"'{c}'" for c in _HI_NIBBLE)
+    bit_exprs = ",\n       ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN tf ELSE -tf END) > 0 "
+        f"THEN '1' ELSE '0' END AS b{j}"
+        for j in range(bits)
+    )
+    concat = " || ".join(f"b{j}" for j in range(bits))
+    band_w = bits // 4
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {bi} AS band_id, substr(simhash, {bi * band_w + 1}, {band_w}) AS band_key FROM sig2"
+        for bi in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {j + 1}, 1) <> substr(b.simhash, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf, md5(term) AS h
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), sigs AS (
+  SELECT doc_id,
+       {bit_exprs}
+  FROM tf GROUP BY doc_id
+), sig2 AS (
+  SELECT doc_id, {concat} AS simhash FROM sigs
+), bands AS (
+{band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b, ({ham})::INT AS hamming
+FROM cands c
+JOIN sig2 a ON c.doc_id_a = a.doc_id
+JOIN sig2 b ON c.doc_id_b = b.doc_id
+WHERE ({ham}) <= {max_hamming}
+ORDER BY c.doc_id_a, c.doc_id_b"""
+
+
+def driver_queries():
+    return {
+        "dedup_exact": lambda s, d: dedup_exact(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d), threshold=0.5),
+        "simhash_signatures": lambda s, d: simhash(_docs(s, d)),
+        "simhash_near_dup": lambda s, d: simhash_near_dup(_docs(s, d), max_hamming=3),
+    }
+
+
+def driver_oracles():
+    return {
+        "dedup_exact": dedup_exact_sql(),
+        "dedup_ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "dedup_minhash_lsh": minhash_lsh_sql(threshold=0.5),
+        "simhash_signatures": simhash_sql(),
+        "simhash_near_dup": simhash_near_dup_sql(max_hamming=3),
+    }
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where shuffle sizing / AQE / Arrow flags live, so the
+bench, tests and driver all run the same physical config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "open_source_search_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.config("spark.master", master)
+    # AQE: runtime coalescing + skew-join splitting. On a real cluster
+    # this is what re-plans the Zipf-head shuffle; keep it on everywhere.
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions) if shuffle_partitions else "32",
+        )
+        # Arrow for pandas_udf / applyInPandas — the only Python<->JVM
+        # data path we allow (input_hint: no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 128 MB scan splits: right-sized for 100 TB parquet scans too.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
