@@ -1,0 +1,254 @@
+"""M5 — incremental index maintenance: add / delete / compact.
+
+LSM semantics lifted from the reference (SURVEY.md §1.1, §2.10):
+
+  * ``add_documents``    → a new *generation* of segments (the RdbDump
+    of a fresh memtable): only the new docs are tokenized/encoded; the
+    existing generations are untouched. New postings are scored with
+    the UPDATED corpus stats; older generations keep their build-time
+    scores until compaction (the reference precedent: Posdb term
+    frequencies are approximate and drift between merges,
+    Posdb::getTermFreq — exactness is restored by ``compact``).
+  * ``delete_documents`` → tombstone rows ``(doc_id,
+    before_generation)`` — negative keys (RdbList.cpp delete-key
+    annihilation). Queries apply them at read time (Msg5-style merged
+    read); ``replace=True`` adds makes updates: old version
+    annihilated, new version indexed.
+  * ``compact``          → the tiered merge (RdbBase::attemptMerge /
+    RdbMerge.cpp): decode all generations back to posting tuples
+    (vectorized mapInPandas), drop tombstoned versions, rebuild a
+    fresh generation-0 index with exact global stats. Sorted order is
+    re-established per (bucket, salt) partition by the encoder — a
+    distributed sorted merge expressed as shuffle + sortWithinPartitions
+    rather than a hand-written k-way file merge.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.config import EngineConfig
+from open_source_search_engine_spark.functions.codec import delta_decode, varint_decode
+from open_source_search_engine_spark.index import builder as B
+from open_source_search_engine_spark.operators.postings import doc_tokens, postings
+from open_source_search_engine_spark.operators.stats import doc_meta, term_stats
+
+TOMBSTONE_SCHEMA = "doc_id long, before_generation int"
+
+
+def _cfg_from_meta(meta: dict) -> EngineConfig:
+    c = dict(meta["config"])
+    c["stopwords"] = frozenset(c.get("stopwords", ()))
+    return EngineConfig(**c)
+
+
+def current_generations(index_dir: str | Path) -> list[int]:
+    seg = Path(index_dir) / "segments"
+    return sorted(
+        int(p.name.split("=")[1]) for p in seg.glob("generation=*") if p.is_dir()
+    )
+
+
+def delete_documents(
+    spark: SparkSession, index_dir: str | Path, doc_ids: list[int]
+) -> None:
+    """Tombstone: annihilates every posting of doc_id from generations
+    strictly below the next generation number."""
+    index_dir = Path(index_dir)
+    gen = max(current_generations(index_dir), default=0) + 1
+    spark.createDataFrame(
+        [(int(d), gen) for d in doc_ids], TOMBSTONE_SCHEMA
+    ).write.mode("append").parquet(str(index_dir / "tombstones"))
+
+
+def add_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str | Path,
+    replace: bool = False,
+    input_snapshot: str = "incremental",
+) -> dict:
+    """Index new docs as the next generation. ``replace=True`` first
+    tombstones incoming doc_ids (update semantics)."""
+    index_dir = Path(index_dir)
+    meta = B.load_meta(index_dir)
+    cfg = _cfg_from_meta(meta)
+    gen = max(current_generations(index_dir), default=0) + 1
+    text_col, tok_mode = meta["text_col"], meta["tokenizer_mode"]
+
+    if replace:
+        ids = [r["doc_id"] for r in docs.select(F.col("doc_id")).collect()]
+        spark.createDataFrame(
+            [(int(d), gen) for d in ids], TOMBSTONE_SCHEMA
+        ).write.mode("append").parquet(str(index_dir / "tombstones"))
+
+    tokens = doc_tokens(docs, text_col, "doc_id", mode=tok_mode)
+    posts = postings(tokens, with_positions=False)
+    new_meta_df = doc_meta(docs, tokens, text_col, "doc_id")
+    new_meta_df.withColumn("gen", F.lit(gen)).write.mode("append").parquet(
+        str(index_dir / "doc_meta")
+    )
+
+    # refresh global stats + term_dict (df adds up; N/avgdl recomputed
+    # over the unioned doc_meta, newest row per doc — tiny agg row)
+    all_meta = (
+        spark.read.parquet(str(index_dir / "doc_meta"))
+        .groupBy("doc_id")
+        .agg(F.max_by("doc_len", "gen").alias("doc_len"))
+    )
+    row = all_meta.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+    ).collect()[0]
+    old_dict = spark.read.parquet(str(index_dir / "term_dict"))
+    merged_dict = (
+        old_dict.unionByName(term_stats(posts))
+        .groupBy("term", "term_id")
+        .agg(F.sum("df").alias("df"))
+    )
+    tmp_dict = index_dir / "term_dict_next"
+    merged_dict.write.mode("overwrite").parquet(str(tmp_dict))
+    shutil.rmtree(index_dir / "term_dict")
+    tmp_dict.rename(index_dir / "term_dict")
+
+    meta.update(
+        n_docs=float(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+        max_doc_id=max(int(row["max_doc_id"]), meta["max_doc_id"]),
+        generations=sorted(set(meta["generations"]) | {gen}),
+    )
+    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+
+    tdict = spark.read.parquet(str(index_dir / "term_dict"))
+    scored = B.scored_postings_df(
+        posts, new_meta_df, tdict, meta["n_docs"], meta["avgdl"], cfg
+    ).select(
+        F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+        B._salt_col(F.col("doc_id"), meta["max_doc_id"], cfg.n_salts),
+        "term_id", "doc_id", "tf", "score",
+    )
+    B._encode_and_write(scored, index_dir, gen, None, cfg, input_snapshot)
+    return meta
+
+
+def decode_segments_to_postings(seg: DataFrame) -> DataFrame:
+    """Segments → (term_id, doc_id, tf, generation) posting tuples.
+    Arrow-batched mapInPandas; numpy decode, no per-row Python."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term_id, gen, blob_d, blob_t in zip(
+                pdf["term_id"], pdf["generation"], pdf["docs_blob"], pdf["tfs_blob"]
+            ):
+                d = delta_decode(bytes(blob_d)).astype("int64")
+                t = varint_decode(bytes(blob_t)).astype("int64")
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": term_id,
+                            "doc_id": d,
+                            "tf": t,
+                            "generation": gen,
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term_id": [], "doc_id": [], "tf": [], "generation": []}
+            )
+
+    return seg.mapInPandas(it, "term_id long, doc_id long, tf long, generation long")
+
+
+def compact(spark: SparkSession, index_dir: str | Path) -> dict:
+    """Full merge: all generations − tombstones → fresh generation-0
+    store with exact stats. Equivalent to a from-scratch build over the
+    live document set (SURVEY.md §5.5 merge test)."""
+    index_dir = Path(index_dir)
+    meta = B.load_meta(index_dir)
+    cfg = _cfg_from_meta(meta)
+
+    seg = spark.read.parquet(str(index_dir / "segments"))
+    posts = decode_segments_to_postings(seg)
+
+    tdir = index_dir / "tombstones"
+    if tdir.exists():
+        ts = (
+            spark.read.parquet(str(tdir))
+            .groupBy("doc_id")
+            .agg(F.max("before_generation").alias("before_generation"))
+        )
+        posts = posts.join(F.broadcast(ts), "doc_id", "left").filter(
+            F.col("before_generation").isNull()
+            | (F.col("generation") >= F.col("before_generation"))
+        )
+    # newest generation wins per (term, doc)
+    posts = (
+        posts.groupBy("term_id", "doc_id")
+        .agg(F.max_by("tf", "generation").cast("int").alias("tf"))
+    )
+
+    # live doc_meta (same tombstone rule; doc_meta rows carry no
+    # generation, so rebuild doc stats from the surviving postings'
+    # doc ids joined back to the newest doc_meta row per doc)
+    dm = spark.read.parquet(str(index_dir / "doc_meta"))
+    dm = dm.groupBy("doc_id").agg(
+        F.max_by("doc_len", "gen").alias("doc_len"),
+        F.max_by("content_sha256", "gen").alias("content_sha256"),
+    )
+    live_ids = posts.select("doc_id").distinct()
+    dm_live = dm.join(live_ids, "doc_id", "left_semi")
+
+    row = dm_live.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+    ).collect()[0]
+    n_docs, avgdl, max_id = float(row["n_docs"]), float(row["avgdl"]), int(row["max_doc_id"])
+
+    new_dict = (
+        posts.groupBy("term_id")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(
+            spark.read.parquet(str(index_dir / "term_dict")).select("term", "term_id").distinct(),
+            "term_id",
+        )
+    )
+
+    scored = B.scored_postings_df(posts, dm_live, new_dict, n_docs, avgdl, cfg).select(
+        F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+        B._salt_col(F.col("doc_id"), max_id, cfg.n_salts),
+        "term_id", "doc_id", "tf", "score",
+    )
+
+    # stage the new store, then swap (atomic-ish; on a real deployment
+    # this is an Iceberg snapshot commit)
+    stage = index_dir / "_compact_stage"
+    if stage.exists():
+        shutil.rmtree(stage)
+    stage.mkdir(parents=True)
+    B._encode_and_write(scored, stage, 0, None, cfg, "compact")
+    dm_live.withColumn("gen", F.lit(0)).write.parquet(str(stage / "doc_meta"))
+    new_dict.write.parquet(str(stage / "term_dict"))
+
+    for name in ("segments", "manifest", "doc_meta", "term_dict"):
+        old = index_dir / name
+        if old.exists():
+            shutil.rmtree(old)
+        if (stage / name).exists():
+            (stage / name).rename(old)
+    shutil.rmtree(stage, ignore_errors=True)
+    if tdir.exists():
+        shutil.rmtree(tdir)
+
+    meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[0])
+    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+    return meta

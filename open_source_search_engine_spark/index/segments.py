@@ -1,0 +1,170 @@
+"""Posting-segment encode/decode kernels (numpy, Arrow-batched).
+
+The persisted unit is a *block row*: up to ``block_size`` postings of
+one term, doc_id-sorted, stored as three binary columns
+
+    docs_blob   delta-gap + LEB128 varint doc_ids  (functions/codec)
+    tfs_blob    LEB128 varint term frequencies
+    scores_blob float64 per-posting BM25 contributions (precomputed at
+                build — the reference's analog is static features baked
+                into the posdb key at index time: density/spam/siterank,
+                XmlDoc.cpp getDiversityVec et al., SURVEY.md §4)
+
+plus pruning metadata ``(doc_id_min, doc_id_max, n_docs,
+block_max_score)`` — our RdbMap (RdbMap.cpp per-page key offsets,
+SURVEY.md §1.1) fused with the block-max scores that drive WAND-style
+skipping (Posdb.cpp getMaxPossibleScore precedent, §4).
+
+Everything here operates on whole numpy arrays; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from open_source_search_engine_spark.functions.codec import (
+    delta_decode,
+    delta_encode,
+    f64_decode,
+    f64_encode,
+    varint_decode,
+    varint_encode,
+)
+
+BLOCK_SCHEMA = (
+    "bucket int, salt int, term_id long, block_id int, "
+    "doc_id_min long, doc_id_max long, n_docs int, "
+    "block_max_score double, docs_blob binary, tfs_blob binary, "
+    "scores_blob binary"
+)
+
+
+def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one (bucket, salt) group of scored postings into block
+    rows. Input columns: bucket, salt, term_id, doc_id, tf, score.
+    Rows within a term are doc_id-sorted here (the RdbDump sorted-run
+    invariant, RdbDump.cpp dumpTree)."""
+    if len(pdf) == 0:
+        return _empty_blocks()
+    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
+    term_ids = pdf["term_id"].to_numpy(np.int64)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    scores = pdf["score"].to_numpy(np.float64)
+    bucket = int(pdf["bucket"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+
+    # position of each posting within its term, then block id
+    term_change = np.flatnonzero(np.diff(term_ids)) + 1
+    starts = np.concatenate(([0], term_change))
+    term_start_of = np.repeat(starts, np.diff(np.concatenate((starts, [len(term_ids)]))))
+    within = np.arange(len(term_ids)) - term_start_of
+    block_of = within // block_size
+
+    # block boundaries: change in (term_id, block_of)
+    change = np.flatnonzero((np.diff(term_ids) != 0) | (np.diff(block_of) != 0)) + 1
+    b_starts = np.concatenate(([0], change))
+    b_ends = np.concatenate((change, [len(term_ids)]))
+
+    rows = []
+    for s, e in zip(b_starts, b_ends):
+        d = doc_ids[s:e]
+        rows.append(
+            (
+                bucket,
+                salt,
+                int(term_ids[s]),
+                int(block_of[s]),
+                int(d[0]),
+                int(d[-1]),
+                int(e - s),
+                float(scores[s:e].max()),
+                delta_encode(d),
+                varint_encode(tfs[s:e].astype(np.uint64)),
+                f64_encode(scores[s:e]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "bucket", "salt", "term_id", "block_id", "doc_id_min",
+            "doc_id_max", "n_docs", "block_max_score", "docs_blob",
+            "tfs_blob", "scores_blob",
+        ],
+    )
+
+
+def _empty_blocks() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket": pd.Series(dtype="int32"),
+            "salt": pd.Series(dtype="int32"),
+            "term_id": pd.Series(dtype="int64"),
+            "block_id": pd.Series(dtype="int32"),
+            "doc_id_min": pd.Series(dtype="int64"),
+            "doc_id_max": pd.Series(dtype="int64"),
+            "n_docs": pd.Series(dtype="int32"),
+            "block_max_score": pd.Series(dtype="float64"),
+            "docs_blob": pd.Series(dtype=object),
+            "tfs_blob": pd.Series(dtype=object),
+            "scores_blob": pd.Series(dtype=object),
+        }
+    )
+
+
+def decode_blocks(
+    block_rows: pd.DataFrame,
+    keep_mask: np.ndarray | None = None,
+    tombstones: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode selected block rows of ONE term (any generations) into
+    (doc_ids, tfs, scores) — doc_id-sorted, later generation wins on
+    duplicate doc_id. ``keep_mask`` selects a subset of rows (block
+    skipping decided by the caller from the metadata columns).
+
+    ``tombstones`` = (dead_doc_ids sorted asc, before_generation): a
+    posting from generation g of doc d is annihilated iff d is listed
+    and g < before_generation[d] — the LSM negative-key semantics of
+    RdbList::merge_r applied at read time (Msg5-style merged read,
+    SURVEY.md §2.10)."""
+    if keep_mask is not None:
+        block_rows = block_rows[keep_mask]
+    if len(block_rows) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    docs_parts, tf_parts, sc_parts, gen_parts = [], [], [], []
+    gens = (
+        block_rows["generation"].to_numpy(np.int64)
+        if "generation" in block_rows.columns
+        else np.zeros(len(block_rows), dtype=np.int64)
+    )
+    for blob_d, blob_t, blob_s, g in zip(
+        block_rows["docs_blob"], block_rows["tfs_blob"], block_rows["scores_blob"], gens
+    ):
+        d = delta_decode(bytes(blob_d)).astype(np.int64)
+        docs_parts.append(d)
+        tf_parts.append(varint_decode(bytes(blob_t)).astype(np.int64))
+        sc_parts.append(f64_decode(bytes(blob_s)))
+        gen_parts.append(np.full(d.size, g, dtype=np.int64))
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    scores = np.concatenate(sc_parts)
+    gen = np.concatenate(gen_parts)
+    # k-way merge of generation runs (RdbList::merge_r analog): stable
+    # sort by (doc_id, generation) then keep the LAST (newest) per doc.
+    order = np.lexsort((gen, docs))
+    docs, tfs, scores, gen = docs[order], tfs[order], scores[order], gen[order]
+    if docs.size > 1:
+        last = np.ones(docs.size, dtype=bool)
+        last[:-1] = docs[1:] != docs[:-1]
+        docs, tfs, scores, gen = docs[last], tfs[last], scores[last], gen[last]
+    if tombstones is not None and tombstones[0].size and docs.size:
+        dead_ids, before = tombstones
+        pos = np.searchsorted(dead_ids, docs)
+        pos_c = np.minimum(pos, dead_ids.size - 1)
+        hit = dead_ids[pos_c] == docs
+        dead = hit & (gen < before[pos_c])
+        keep = ~dead
+        docs, tfs, scores = docs[keep], tfs[keep], scores[keep]
+    return docs, tfs, scores

@@ -1,0 +1,242 @@
+"""M4 — top-k BM25 over the segment store with block-max pruning.
+
+Query lifecycle (Spark expression of SURVEY.md §3.1):
+
+  1. term lookup in term_dict (replaces driver-side re-hashing; also
+     yields exact df — Posdb::getTermFreq is approximate, ours exact)
+  2. partition-pruned segment scan: ``bucket IN (...) AND term_id IN
+     (...)`` — Catalyst prunes to the query's term buckets
+     (the RdbMap ranged seek, SURVEY.md §2.1 S3) and parquet row-group
+     stats skip non-matching term_ids inside a bucket
+  3. per-salt kernel (applyInPandas over disjoint doc_id ranges — the
+     per-shard Msg39 computation): decode + prune + score + local
+     top-k via numpy
+  4. driver merge: ``ORDER BY score DESC, doc_id ASC LIMIT k`` over
+     ≤ n_salts × k rows (Msg3a::mergeLists, §2.6 O4)
+
+Pruning inside the kernel is the MaxScore/block-max family
+(Posdb.cpp getMaxPossibleScore is the reference precedent, §4):
+
+  * AND mode: rarest-term-driven intersection; for every other term
+    only blocks whose [doc_id_min, doc_id_max] can contain a candidate
+    are decoded (vectorized block skipping via the metadata columns).
+  * OR mode (MaxScore): U_t = max block_max per term; θ0 = kth best
+    single-term score of the highest-impact term; terms whose
+    cumulative U (ascending) stays below θ0 are non-essential — docs
+    appearing ONLY in those lists cannot reach the top-k, so candidate
+    generation unions essential lists only, and non-essential terms
+    decode just the blocks overlapping surviving candidates.
+
+Scoring sums precomputed per-posting float64 contributions in
+ascending term_id order (FIXTURES.md §3 determinism pin).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.index.builder import load_meta
+from open_source_search_engine_spark.index.segments import decode_blocks
+
+KERNEL_SCHEMA = "doc_id long, score double, n_terms int"
+
+
+def query_term_rows(
+    spark: SparkSession, index_dir: str | Path, terms: list[str]
+) -> list[dict]:
+    """(term, term_id, df) for the query's terms — tiny pushdown scan."""
+    td = spark.read.parquet(str(Path(index_dir) / "term_dict"))
+    return [
+        r.asDict()
+        for r in td.filter(F.col("term").isin(list(set(terms)))).collect()
+    ]
+
+
+def _load_tombstones(
+    spark: SparkSession, index_dir: str | Path
+) -> tuple[np.ndarray, np.ndarray] | None:
+    tdir = Path(index_dir) / "tombstones"
+    if not tdir.exists():
+        return None
+    pdf = spark.read.parquet(str(tdir)).toPandas()
+    if len(pdf) == 0:
+        return None
+    # one row per doc: the max before_generation wins
+    pdf = pdf.groupby("doc_id", as_index=False)["before_generation"].max()
+    pdf = pdf.sort_values("doc_id")
+    return (
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["before_generation"].to_numpy(np.int64),
+    )
+
+
+def _blocks_overlapping(
+    rows: pd.DataFrame, cand: np.ndarray
+) -> np.ndarray:
+    """Mask of block rows whose [doc_id_min, doc_id_max] contains at
+    least one candidate doc_id (cand sorted asc). Vectorized."""
+    lo = rows["doc_id_min"].to_numpy(np.int64)
+    hi = rows["doc_id_max"].to_numpy(np.int64)
+    left = np.searchsorted(cand, lo, side="left")
+    right = np.searchsorted(cand, hi, side="right")
+    return right > left
+
+
+def _score_candidates(
+    cand: np.ndarray,
+    term_lists: list[tuple[int, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term contributions for candidate docs in ascending
+    term_id order (float64 determinism). Returns (scores, n_terms_hit).
+    term_lists: [(term_id, doc_ids sorted, scores)]."""
+    total = np.zeros(cand.size, dtype=np.float64)
+    hits = np.zeros(cand.size, dtype=np.int32)
+    for _tid, docs, scores in sorted(term_lists, key=lambda t: t[0]):
+        if docs.size == 0:
+            continue
+        pos = np.searchsorted(docs, cand)
+        pos_c = np.minimum(pos, docs.size - 1)
+        m = docs[pos_c] == cand
+        total[m] += scores[pos_c[m]]
+        hits[m] += 1
+    return total, hits
+
+
+def make_salt_kernel(
+    term_ids: list[int],
+    k: int,
+    mode: str,
+    tombstones: tuple[np.ndarray, np.ndarray] | None,
+):
+    """Kernel run once per salt (disjoint doc_id range). Input: block
+    rows of the query's terms only. Output: local top-k candidates."""
+    tids = sorted(set(term_ids))
+    n_q = len(tids)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = {t: g for t, g in pdf.groupby("term_id")}
+        if mode == "and" and len(per_term) < n_q:
+            return pd.DataFrame({"doc_id": [], "score": [], "n_terms": []}).astype(
+                {"doc_id": "int64", "score": "float64", "n_terms": "int32"}
+            )
+
+        if mode == "and":
+            # rarest term drives (shortest-list-first, §4): decode the
+            # term with fewest postings fully, then intersect onward,
+            # decoding only overlapping blocks of later terms.
+            order = sorted(per_term, key=lambda t: int(per_term[t]["n_docs"].sum()))
+            cand, _tf, _sc = decode_blocks(per_term[order[0]], tombstones=tombstones)
+            for t in order[1:]:
+                if cand.size == 0:
+                    break
+                rows = per_term[t]
+                mask = _blocks_overlapping(rows, cand)
+                docs, _tfs, _s = decode_blocks(rows, mask, tombstones=tombstones)
+                pos = np.searchsorted(docs, cand) if docs.size else None
+                if docs.size == 0:
+                    cand = cand[:0]
+                    break
+                pos_c = np.minimum(pos, docs.size - 1)
+                cand = cand[docs[pos_c] == cand]
+            if cand.size == 0:
+                return pd.DataFrame(
+                    {"doc_id": [], "score": [], "n_terms": []}
+                ).astype({"doc_id": "int64", "score": "float64", "n_terms": "int32"})
+            lists = []
+            for t, rows in per_term.items():
+                mask = _blocks_overlapping(rows, cand)
+                docs, _tfs, scores = decode_blocks(rows, mask, tombstones=tombstones)
+                lists.append((int(t), docs, scores))
+            total, hits = _score_candidates(cand, lists)
+            keep = hits == n_q
+            cand, total, hits = cand[keep], total[keep], hits[keep]
+        else:
+            # MaxScore (block-max family). U_t from block metadata only.
+            U = {t: float(g["block_max_score"].max()) for t, g in per_term.items()}
+            drive = max(U, key=U.get)
+            d_docs, _dt, d_scores = decode_blocks(per_term[drive], tombstones=tombstones)
+            if d_scores.size >= k:
+                theta0 = float(np.partition(d_scores, -k)[-k])
+            else:
+                theta0 = 0.0
+            asc = sorted(U, key=U.get)
+            cum, non_essential = 0.0, set()
+            for t in asc:
+                if cum + U[t] < theta0:
+                    cum += U[t]
+                    non_essential.add(t)
+                else:
+                    break
+            decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {
+                int(drive): (d_docs, d_scores)
+            }
+            cand_parts = [d_docs]
+            for t, rows in per_term.items():
+                if t == drive or t in non_essential:
+                    continue
+                docs, _tfs, scores = decode_blocks(rows, tombstones=tombstones)
+                decoded[int(t)] = (docs, scores)
+                cand_parts.append(docs)
+            cand = np.unique(np.concatenate(cand_parts)) if cand_parts else np.empty(0, np.int64)
+            lists = [(t, d, s) for t, (d, s) in decoded.items()]
+            for t in non_essential:
+                rows = per_term[t]
+                mask = _blocks_overlapping(rows, cand)
+                docs, _tfs, scores = decode_blocks(rows, mask, tombstones=tombstones)
+                lists.append((int(t), docs, scores))
+            total, hits = _score_candidates(cand, lists)
+
+        if cand.size > k:
+            # local top-k with (score desc, doc_id asc) tie-break
+            idx = np.lexsort((cand, -total))[:k]
+        else:
+            idx = np.lexsort((cand, -total))
+        return pd.DataFrame(
+            {
+                "doc_id": cand[idx],
+                "score": total[idx],
+                "n_terms": hits[idx].astype(np.int32),
+            }
+        )
+
+    return kernel
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str | Path,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    round_dp: int | None = 5,
+) -> DataFrame:
+    """Top-k (doc_id, score) — must be rank-identical to
+    bm25.bm25_topk_oracle on the same corpus (§5.2 pinned oracle)."""
+    meta = load_meta(index_dir)
+    n_buckets = meta["config"]["n_buckets"]
+    trows = query_term_rows(spark, index_dir, terms)
+    found = {r["term"] for r in trows}
+    missing_any = len(found) < len(set(terms))
+    if not trows or (mode == "and" and missing_any):
+        # a required term with no posting list ⇒ empty AND result
+        # (Query.cpp default-AND semantics, SURVEY.md §2.2 F2)
+        return spark.createDataFrame([], "doc_id long, score double")
+    tids = sorted({int(r["term_id"]) for r in trows})
+    buckets = sorted({t % n_buckets for t in tids})
+
+    seg = spark.read.parquet(str(Path(index_dir) / "segments"))
+    seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+
+    tombstones = _load_tombstones(spark, index_dir)
+    kernel = make_salt_kernel(tids, k, mode, tombstones)
+    local = seg.groupBy("salt").applyInPandas(kernel, KERNEL_SCHEMA)
+    if mode == "and":
+        local = local.filter(F.col("n_terms") == len(tids))
+    out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    return out.select("doc_id", score.alias("score"))

@@ -6,7 +6,23 @@ bench, tests and driver all run the same physical config.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import SparkSession
+
+# Make the package importable inside Spark's Python workers no matter
+# what the driver's cwd is — the local-mode analog of shipping the
+# package with `spark-submit --py-files` (north_rule deployment mode).
+_PKG_PARENT = str(Path(__file__).resolve().parent.parent)
+
+
+def _export_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_PARENT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_PARENT + (os.pathsep + pp if pp else "")
+        )
 
 
 def get_spark(
@@ -15,6 +31,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _export_pythonpath()
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.config("spark.master", master)
