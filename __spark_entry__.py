@@ -30,6 +30,40 @@ from open_source_search_engine_spark.plans import oracle_sql as osql
 
 FLAGSHIP_TERMS = ["join", "hash"]
 
+_IDX_CACHE: dict[str, Path] = {}
+
+
+def _segment_index(spark: SparkSession, sf_dir: str) -> Path:
+    """Build the M3 segment store for sf_dir once per process; the
+    wand_* queries below then exercise the REAL engine (segments +
+    block-max kernel), checked against the same BM25 oracle SQL as the
+    DataFrame path — the driver enforces rank-identity every round."""
+    if sf_dir not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+
+        d = Path(tempfile.mkdtemp(prefix="osse_seg_")) / "idx"
+        idx_builder.build_index(
+            spark,
+            _docs(spark, sf_dir),
+            d,
+            cfg=EngineConfig(n_buckets=16, n_salts=4, block_size=64),
+            text_col="text",
+        )
+        _IDX_CACHE[sf_dir] = d
+    return _IDX_CACHE[sf_dir]
+
+
+def _wand_q(terms: list[str], mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from open_source_search_engine_spark.index import wand as idx_wand
+
+        return idx_wand.wand_topk(spark, _segment_index(spark, sf_dir), terms, k=10, mode=mode)
+
+    return run
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -69,6 +103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": lambda s, d: ranking.paginate(_docs(s, d), FLAGSHIP_TERMS, offset=10, limit=10),
         "sortby_field": lambda s, d: ranking.sort_by_field(_docs(s, d), ["dup"], "n_chars", k=10),
         "phrase_bigram": lambda s, d: phrase.phrase_bigram(_docs(s, d), "join", "hash"),
+        # --- segment-store engine (M3/M4): same oracle as the
+        # DataFrame BM25 path ⇒ driver-verified rank identity ---
+        "wand_topk": _wand_q(FLAGSHIP_TERMS, "and"),
+        "wand_topk_or": _wand_q(["dup", "merge"], "or"),
+        "wand_topk_3term": _wand_q(["dup", "key", "scan"], "or"),
+        # --- presentation (SURVEY §2.9 P1-P3) + direct lookup (§3.3) ---
+        "search_snippets": lambda s, d: _snippets_q(s, d),
+        "doc_lookup": lambda s, d: _doc_lookup_q(s, d),
+        # --- query-language front end (Query.cpp set2; §2.2 F1-F5) ---
+        "query_language": lambda s, d: _qlang_q(s, d),
+        "query_language_phrase": lambda s, d: _qlang_phrase_q(s, d),
     }
     q.update(dedup.driver_queries())
     q.update(similarity.driver_queries())
@@ -93,11 +138,52 @@ def oracle_sql() -> dict[str, str]:
         "pagination": osql.pagination_sql(FLAGSHIP_TERMS, offset=10, limit=10),
         "sortby_field": osql.sortby_sql(["dup"], "n_chars", k=10),
         "phrase_bigram": osql.phrase_bigram_sql("join", "hash"),
+        "wand_topk": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
+        "wand_topk_or": osql.bm25_topk_sql(["dup", "merge"], k=10, mode="or"),
+        "wand_topk_3term": osql.bm25_topk_sql(["dup", "key", "scan"], k=10, mode="or"),
+        "search_snippets": osql.snippets_sql(FLAGSHIP_TERMS, k=10, mode="and"),
+        "doc_lookup": osql.doc_lookup_sql(42),
+        "query_language": _qlang_sql(QLANG_Q),
+        "query_language_phrase": _qlang_sql(QLANG_PHRASE_Q),
     }
     o.update(dedup.driver_oracles())
     o.update(similarity.driver_oracles())
     o.update(textstats.driver_oracles())
     return o
+
+
+QLANG_Q = "join +hash -dup lang:en"
+QLANG_PHRASE_Q = '"join hash" scan'
+
+
+def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.operators import snippets
+
+    return snippets.search_with_snippets(_docs(spark, sf_dir), FLAGSHIP_TERMS, k=10)
+
+
+def _doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.operators import snippets
+
+    return snippets.doc_lookup(_docs(spark, sf_dir), 42)
+
+
+def _qlang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.plans import query_language
+
+    return query_language.execute(_docs(spark, sf_dir), QLANG_Q, k=10)
+
+
+def _qlang_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.plans import query_language
+
+    return query_language.execute(_docs(spark, sf_dir), QLANG_PHRASE_Q, k=10)
+
+
+def _qlang_sql(q: str) -> str:
+    from open_source_search_engine_spark.plans import query_language
+
+    return query_language.sql(q, k=10)
 
 
 # -- helpers (kept tiny; real logic lives in the package) --

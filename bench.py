@@ -1,0 +1,113 @@
+"""Round benchmark — prints ONE JSON line the driver records as
+BENCH_r{N}.json.
+
+Headline numbers:
+  * index_build      — segment-store build (M3) over the sf documents
+                       table, wall sec (docs/sec derivable: n_docs/sec)
+  * wand_topk_p50    — median latency of the pinned query set (M4)
+                       against the built store
+  * oracle/operator queries — the DataFrame-algebra paths the driver
+                       also correctness-checks
+
+Honors $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+$SPARK_GRAFT_CPUS (default 32). Scaling protocol (local[8] vs
+local[32]) lives in scripts/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from open_source_search_engine_spark.config import (  # noqa: E402
+    EngineConfig,
+    default_cpus,
+    default_sf_dir,
+)
+from open_source_search_engine_spark.session import get_spark  # noqa: E402
+
+PINNED_QUERIES: list[tuple[list[str], str]] = [
+    (["join", "hash"], "and"),
+    (["dup", "merge"], "or"),
+    (["scan"], "and"),
+    (["key", "index"], "and"),
+    (["dup", "key", "scan"], "or"),
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    cpus = default_cpus()
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from __spark_entry__ import queries  # noqa: E402
+    from open_source_search_engine_spark.index import builder, wand  # noqa: E402
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    # --- index build (M3) ---
+    idx = Path(tempfile.mkdtemp(prefix="bench_idx_")) / "idx"
+    cfg = EngineConfig(n_buckets=64, n_salts=8, block_size=128)
+    t0 = time.perf_counter()
+    builder.build_index(spark, docs, idx, cfg=cfg, text_col="text")
+    timings["index_build"] = round(time.perf_counter() - t0, 3)
+
+    # --- WAND query latency (M4): warm-up then p50 over pinned set ---
+    wand.wand_topk(spark, idx, ["join"], k=10).collect()
+    lats = []
+    for terms, mode in PINNED_QUERIES:
+        t0 = time.perf_counter()
+        wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
+        lats.append(time.perf_counter() - t0)
+    timings["wand_topk_p50"] = round(statistics.median(lats), 3)
+    timings["wand_topk_total"] = round(sum(lats), 3)
+
+    # --- DataFrame-algebra operator paths (driver-checked queries) ---
+    qs = queries()
+    for name in [
+        "bm25_topk",
+        "bm25_topk_or",
+        "and_intersect",
+        "facets_lang",
+        "topk_sitecap",
+        "dedup_minhash_lsh",
+        "simhash_near_dup",
+        "ann_cosine_topk",
+        "token_counts",
+    ]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,10 +83,14 @@ def bm25_topk_oracle(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenizer_mode: str = "simple",
+    require_docs: DataFrame | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag of query terms, end to end from
     the raw docs table. `mode='and'` requires all terms present
     (Gigablast default AND, Query.cpp set2); `'or'` is the union.
+    `require_docs` / `exclude_docs` are (doc_id) sets semi-/anti-joined
+    onto the candidates (phrase constraints F5, negative terms F1).
     Output: (doc_id, score) with score rounded to 5 dp for stable
     cross-engine comparison; ordering uses the unrounded float64.
     """
@@ -105,6 +109,10 @@ def bm25_topk_oracle(
     if candidate_filter is not None:
         keep = docs.filter(candidate_filter).select(F.col(id_col).alias("doc_id"))
         cand = cand.join(keep, "doc_id", "left_semi")
+    if require_docs is not None:
+        cand = cand.join(require_docs.select("doc_id"), "doc_id", "left_semi")
+    if exclude_docs is not None:
+        cand = cand.join(exclude_docs.select("doc_id"), "doc_id", "left_anti")
     scored = (
         cand.join(F.broadcast(q_df), "term")
         .join(meta.select("doc_id", "doc_len"), "doc_id")

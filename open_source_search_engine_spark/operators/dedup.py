@@ -309,10 +309,21 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_
     bits/4 — two sigs within hamming≤3 must agree on ≥1 band), then
     exact hamming verify. (doc_id_a, doc_id_b, hamming)."""
     sigs = simhash(docs, bits)
+    # pack the bit-string into two 32-bit words once per doc: the pair
+    # verify then costs 2×(xor + bit_count) instead of `bits` substring
+    # compares — keeps the whole candidate verify in codegen'd long ops
+    half = bits // 2
+    sigs = sigs.select(
+        "doc_id",
+        "simhash",
+        F.conv(F.substring("simhash", 1, half), 2, 10).cast("long").alias("w_hi"),
+        F.conv(F.substring("simhash", half + 1, half), 2, 10).cast("long").alias("w_lo"),
+    )
     band_w = bits // 4
     bands = sigs.select(
         "doc_id",
-        "simhash",
+        "w_hi",
+        "w_lo",
         F.explode(
             F.array(
                 *[
@@ -324,27 +335,34 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    ).select("doc_id", "w_hi", "w_lo", "band.band_id", "band.band_key")
     a = bands.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_key"
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("w_hi").alias("a_hi"),
+        F.col("w_lo").alias("a_lo"),
+        "band_id",
+        "band_key",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_key"
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("w_hi").alias("b_hi"),
+        F.col("w_lo").alias("b_lo"),
+        "band_id",
+        "band_key",
     )
-    cands = (
+    hamming = F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi"))) + F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    )
+    # verify BEFORE distinct: surviving pairs (hamming ≤ h) are orders
+    # of magnitude fewer than band-collision candidates, so the dedup
+    # shuffle moves almost nothing
+    return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = sum(
-        (F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1)).cast("int")
-        for j in range(bits)
-    )
-    return (
-        cands.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
+        .distinct()
         .orderBy("doc_id_a", "doc_id_b")
     )
 

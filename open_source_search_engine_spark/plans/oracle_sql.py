@@ -217,3 +217,62 @@ def phrase_bigram_sql(w1: str, w2: str) -> str:
 SELECT DISTINCT t1.doc_id FROM t1
 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
 ORDER BY t1.doc_id"""
+
+
+def snippets_sql(terms: list[str], k: int = 10, mode: str = "and") -> str:
+    """Mirror of operators.snippets.search_with_snippets (SURVEY §2.9
+    P1-P3): BM25 top-k joined back to docs, 7-token window anchored at
+    the first query-term hit, term tokens wrapped in <b>…</b>."""
+    tl = _terms_list(terms)
+    ts = sorted(set(terms))
+    n_terms = len(ts)
+    having = f"HAVING COUNT(*) = {n_terms}" if mode == "and" else ""
+    anchor = ", ".join(
+        f"NULLIF(list_position(string_split(lower(d.text), ' '), '{t}'), 0)"
+        for t in ts
+    )
+    anchor_expr = f"least({anchor})" if n_terms > 1 else anchor
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in ts)
+    return f"""{_PRELUDE}, q_df AS (
+  SELECT term, COUNT(*)::DOUBLE AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks_f WHERE term IN ({tl}))
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks_f WHERE term IN ({tl})
+  GROUP BY doc_id, term
+), agg AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n_docs - q_df.df + 0.5)/(q_df.df + 0.5) + 1.0)
+              * tf.tf * ({BM25_PARAMS['k1']} + 1.0)
+              / (tf.tf + {BM25_PARAMS['k1']}
+                 * (1.0 - {BM25_PARAMS['b']}
+                    + {BM25_PARAMS['b']} * dl.doc_len / stats.avgdl)) ) AS s
+  FROM tf JOIN q_df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id {having}
+), topk AS (
+  SELECT doc_id, s FROM agg ORDER BY s DESC, doc_id ASC LIMIT {k}
+), wnd AS (
+  SELECT topk.doc_id, topk.s,
+         string_split(lower(d.text), ' ') AS toks,
+         {anchor_expr} AS anchor
+  FROM topk JOIN documents d ON topk.doc_id = d.doc_id
+), cut AS (
+  SELECT doc_id, s,
+         CASE WHEN anchor IS NOT NULL
+              THEN list_slice(toks, greatest(1, anchor - 3), greatest(1, anchor - 3) + 6)
+              ELSE [] END AS wtoks
+  FROM wnd
+)
+SELECT doc_id, ROUND(s, 5) AS score,
+       array_to_string(wtoks, ' ') AS snippet,
+       array_to_string(
+         list_transform(wtoks,
+           t -> CASE WHEN t IN ({in_list}) THEN '<b>' || t || '</b>' ELSE t END),
+         ' ') AS highlight
+FROM cut ORDER BY s DESC, doc_id ASC"""
+
+
+def doc_lookup_sql(doc_id: int) -> str:
+    """Mirror of operators.snippets.doc_lookup (gbdocid:, SURVEY §3.3)."""
+    return f"SELECT * FROM documents WHERE doc_id = {int(doc_id)}"

@@ -1,0 +1,177 @@
+"""Query-language front end — the Spark analog of Query.cpp
+(Query::set2 turning the query string into QueryWords/QueryTerms with
+signs, field codes and phrase ids; SURVEY.md §2.2 F1-F5, §3.1).
+
+Grammar (Gigablast-compatible subset):
+
+    term            scored, REQUIRED (default-AND, Query.cpp set2)
+    +term           same (explicit plus sign)
+    -term           excluded (negative sign → anti-join, F1)
+    field:value     metadata restriction (F3) on a docs column
+                    (lang:, source:; numeric col ops via range_:)
+    "a b"           phrase: tokens must be adjacent (X4 bigram ids);
+                    each token also scored
+
+``execute`` compiles the parsed query onto the DataFrame BM25 oracle;
+``sql`` emits the equivalent DuckDB SQL so the driver can verify the
+whole front end end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import bm25, phrase as phrase_ops
+from open_source_search_engine_spark.plans import oracle_sql as osql
+
+FIELD_COLS = {"lang", "source", "repo", "path"}
+
+
+@dataclass
+class ParsedQuery:
+    required: list[str] = field(default_factory=list)
+    excluded: list[str] = field(default_factory=list)
+    filters: dict[str, str] = field(default_factory=dict)
+    phrases: list[tuple[str, ...]] = field(default_factory=list)
+
+    @property
+    def scored_terms(self) -> list[str]:
+        seen: list[str] = []
+        for t in self.required + [w for p in self.phrases for w in p]:
+            if t not in seen:
+                seen.append(t)
+        return seen
+
+
+def parse(q: str) -> ParsedQuery:
+    out = ParsedQuery()
+    lex = shlex.shlex(q, posix=False)
+    # shlex keeps quoted strings intact with quotes; simpler: regex
+    for m in re.finditer(r'[+-]?"[^"]+"|\S+', q):
+        tok = m.group(0)
+        sign = ""
+        if tok[0] in "+-":
+            sign, tok = tok[0], tok[1:]
+        if tok.startswith('"') and tok.endswith('"') and len(tok) > 1:
+            words = tuple(tok[1:-1].lower().split())
+            if words:
+                out.phrases.append(words)
+            continue
+        if ":" in tok:
+            f, v = tok.split(":", 1)
+            if f.lower() in FIELD_COLS:
+                out.filters[f.lower()] = v
+                continue
+        t = tok.lower()
+        if not t:
+            continue
+        (out.excluded if sign == "-" else out.required).append(t)
+    return out
+
+
+def execute(
+    docs: DataFrame,
+    q: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "simple",
+) -> DataFrame:
+    """Compile + run: metadata filters prune candidates, phrases
+    semi-join adjacency matches, negatives anti-join, positives score
+    in default-AND mode."""
+    pq = parse(q)
+    cand_filter: Column | None = None
+    for f, v in pq.filters.items():
+        c = F.col(f) == v
+        cand_filter = c if cand_filter is None else (cand_filter & c)
+
+    require = None
+    for words in pq.phrases:
+        for a, b in zip(words, words[1:]):
+            m = phrase_ops.phrase_bigram(docs, a, b, tokenizer_mode=tokenizer_mode)
+            require = m if require is None else require.join(m, "doc_id", "left_semi")
+
+    exclude = None
+    if pq.excluded:
+        from open_source_search_engine_spark.operators.postings import doc_tokens
+
+        toks = doc_tokens(docs, text_col, id_col, mode=tokenizer_mode)
+        exclude = (
+            toks.filter(F.col("term").isin(pq.excluded)).select("doc_id").distinct()
+        )
+
+    return bm25.bm25_topk_oracle(
+        docs,
+        pq.scored_terms,
+        k=k,
+        mode="and",
+        candidate_filter=cand_filter,
+        cfg=bm25.EngineConfig(),
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer_mode=tokenizer_mode,
+        require_docs=require,
+        exclude_docs=exclude,
+    )
+
+
+def sql(q: str, k: int = 10) -> str:
+    """DuckDB oracle for ``execute`` (same semantics, same aliases)."""
+    pq = parse(q)
+    terms = pq.scored_terms
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    n_terms = len(set(terms))
+    parts = []
+    for f, v in pq.filters.items():
+        vv = v.replace("'", "''")
+        parts.append(
+            f"AND doc_id IN (SELECT doc_id FROM documents WHERE {f} = '{vv}')"
+        )
+    for words in pq.phrases:
+        for a, b in zip(words, words[1:]):
+            aa, bb = a.replace("'", "''"), b.replace("'", "''")
+            parts.append(
+                f"""AND doc_id IN (
+  WITH ptoks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+    FROM documents)
+  SELECT DISTINCT p1.doc_id
+  FROM (SELECT doc_id, pos FROM ptoks WHERE term = '{aa}') p1
+  JOIN (SELECT doc_id, pos FROM ptoks WHERE term = '{bb}') p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1)"""
+            )
+    if pq.excluded:
+        el = ", ".join("'" + t.replace("'", "''") + "'" for t in pq.excluded)
+        parts.append(
+            f"AND doc_id NOT IN (SELECT doc_id FROM toks_f WHERE term IN ({el}))"
+        )
+    cand_filter = "\n  ".join(parts)
+    p = osql.BM25_PARAMS
+    return f"""{osql._PRELUDE}, q_df AS (
+  SELECT term, COUNT(*)::DOUBLE AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks_f WHERE term IN ({tl}))
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks_f WHERE term IN ({tl})
+  {cand_filter}
+  GROUP BY doc_id, term
+), agg AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n_docs - q_df.df + 0.5)/(q_df.df + 0.5) + 1.0)
+              * tf.tf * ({p['k1']} + 1.0)
+              / (tf.tf + {p['k1']} * (1.0 - {p['b']}
+                    + {p['b']} * dl.doc_len / stats.avgdl)) ) AS s
+  FROM tf JOIN q_df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+  HAVING COUNT(*) = {n_terms}
+)
+SELECT doc_id, ROUND(s, 5) AS score
+FROM agg ORDER BY s DESC, doc_id ASC LIMIT {k}"""

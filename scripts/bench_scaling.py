@@ -1,0 +1,158 @@
+"""M6 — two-parallelism scaling protocol (BASELINE.md §protocol).
+
+The north_rule's N vs 4N executor-cluster criterion is evidenced
+in-sandbox by running the IDENTICAL build+query job at local[8] and
+local[32] on the same input (per driver instruction) and reporting
+throughput at both plus scaling efficiency
+(docs_per_sec_32 / docs_per_sec_8) / 4.
+
+Each measurement runs in a FRESH interpreter via spark-submit
+(--py-files ships the packaged engine), so JVM/executor state never
+leaks between parallelism levels.
+
+Usage:
+    python scripts/bench_scaling.py [sf_dir] [runs]
+Writes BENCH.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import json, sys, tempfile, time
+from pathlib import Path
+from open_source_search_engine_spark.config import EngineConfig
+from open_source_search_engine_spark.index import builder, wand
+from pyspark.sql import SparkSession
+
+sf_dir, cpus = sys.argv[1], int(sys.argv[2])
+spark = (
+    SparkSession.builder.appName(f"scaling-{cpus}")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+n_docs = docs.count()
+idx = Path(tempfile.mkdtemp(prefix=f"scale_{cpus}_")) / "idx"
+t0 = time.perf_counter()
+builder.build_index(
+    spark, docs, idx,
+    cfg=EngineConfig(n_buckets=64, n_salts=8, block_size=128),
+    text_col="text",
+)
+build_s = time.perf_counter() - t0
+wand.wand_topk(spark, idx, ["join"], k=10).collect()  # warm
+lats = []
+for terms, mode in [(["join", "hash"], "and"), (["dup", "merge"], "or"), (["scan"], "and")]:
+    t0 = time.perf_counter()
+    wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
+    lats.append(time.perf_counter() - t0)
+print("RESULT " + json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "build_s": round(build_s, 3),
+    "docs_per_sec": round(n_docs / build_s, 1),
+    "query_p50_s": round(sorted(lats)[len(lats)//2], 3),
+}))
+spark.stop()
+"""
+
+
+def make_zip() -> Path:
+    """Package the engine the way a real cluster submit would."""
+    z = Path(tempfile.mkdtemp()) / "engine.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for p in (REPO / "open_source_search_engine_spark").rglob("*.py"):
+            zf.write(p, p.relative_to(REPO))
+    return z
+
+
+def run_once(sf_dir: str, cpus: int, pyz: Path, worker: Path) -> dict:
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cpus}]",
+        "--py-files", str(pyz),
+        "--conf", "spark.driver.memory=8g",
+        str(worker), sf_dir, str(cpus),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no RESULT line at local[{cpus}]")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    pyz = make_zip()
+    worker = Path(tempfile.mkdtemp()) / "scaling_worker.py"
+    worker.write_text(WORKER)
+
+    results: dict[int, list[dict]] = {8: [], 32: []}
+    for r in range(runs):
+        for cpus in (8, 32):
+            res = run_once(sf_dir, cpus, pyz, worker)
+            results[cpus].append(res)
+            print(f"run {r+1}/{runs} local[{cpus}]: {res}", file=sys.stderr)
+
+    med = {
+        c: {
+            "build_s": statistics.median(x["build_s"] for x in v),
+            "docs_per_sec": statistics.median(x["docs_per_sec"] for x in v),
+            "query_p50_s": statistics.median(x["query_p50_s"] for x in v),
+        }
+        for c, v in results.items()
+    }
+    eff = (med[32]["docs_per_sec"] / med[8]["docs_per_sec"]) / 4
+    summary = {
+        "sf_dir": sf_dir,
+        "runs": runs,
+        "n_docs": results[8][0]["n_docs"],
+        "local8": med[8],
+        "local32": med[32],
+        "scaling_efficiency_4x": round(eff, 3),
+    }
+    (REPO / "BENCH.md").write_text(
+        "# BENCH — measured scaling (M6 protocol, BASELINE.md)\n\n"
+        "Identical build+query job via `spark-submit --py-files engine.zip`\n"
+        "at two parallelism levels on the same input (the in-sandbox\n"
+        "evidence for the north_rule's N vs 4N cluster criterion — no real\n"
+        "cluster is available here).\n\n"
+        f"- input: `{sf_dir}/documents.parquet` ({summary['n_docs']} docs), "
+        f"{runs} runs, medians reported\n\n"
+        "| parallelism | build sec | docs/sec | BM25 top-10 p50 sec |\n"
+        "|---|---|---|---|\n"
+        f"| local[8] | {med[8]['build_s']:.2f} | {med[8]['docs_per_sec']:.0f} | "
+        f"{med[8]['query_p50_s']:.3f} |\n"
+        f"| local[32] | {med[32]['build_s']:.2f} | {med[32]['docs_per_sec']:.0f} | "
+        f"{med[32]['query_p50_s']:.3f} |\n\n"
+        f"**Scaling efficiency (8→32 cores, ×4):** "
+        f"`(docs_per_sec_32 / docs_per_sec_8) / 4 = {eff:.3f}`"
+        f" (target ≥ 0.8)\n\n"
+        "Caveat: a single-box core scale-up under-states a real cluster's\n"
+        "efficiency ceiling (shared memory bandwidth, one shuffle service,\n"
+        "Python worker fork overhead amortized differently); the build is\n"
+        "shuffle-partitioned by (term-bucket, doc-range salt) with no\n"
+        "driver-side collection in the hot path, so added executors map to\n"
+        "added partitions linearly.\n"
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
