@@ -23,7 +23,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
-from open_source_search_engine_spark.operators import dedup, similarity, textstats
+from open_source_search_engine_spark.operators import dedup, multimodal, similarity, textstats
 from open_source_search_engine_spark.operators.postings import doc_tokens
 from open_source_search_engine_spark.operators.stats import doc_meta
 from open_source_search_engine_spark.plans import oracle_sql as osql
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_language_phrase": lambda s, d: _qlang_phrase_q(s, d),
     }
     q.update(dedup.driver_queries())
+    q.update(multimodal.driver_queries())
     q.update(similarity.driver_queries())
     q.update(textstats.driver_queries())
     return q
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "query_language_phrase": _qlang_sql(QLANG_PHRASE_Q),
     }
     o.update(dedup.driver_oracles())
+    o.update(multimodal.driver_oracles())
     o.update(similarity.driver_oracles())
     o.update(textstats.driver_oracles())
     return o

@@ -35,29 +35,33 @@ from open_source_search_engine_spark.config import EngineConfig
 from open_source_search_engine_spark.index import builder, wand
 from pyspark.sql import SparkSession
 
-sf_dir, cpus = sys.argv[1], int(sys.argv[2])
+corpus, cpus = sys.argv[1], int(sys.argv[2])
 spark = (
     SparkSession.builder.appName(f"scaling-{cpus}")
     .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+    .config("spark.sql.shuffle.partitions", str(2 * cpus))
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+# repartition so the map side (tokenize+explode) has uniform
+# parallelism at BOTH levels; cached before the timer so the measured
+# region is the index build alone (BASELINE.md protocol)
+docs = spark.read.parquet(corpus).repartition(4 * cpus).cache()
 n_docs = docs.count()
 idx = Path(tempfile.mkdtemp(prefix=f"scale_{cpus}_")) / "idx"
 t0 = time.perf_counter()
 builder.build_index(
     spark, docs, idx,
     cfg=EngineConfig(n_buckets=64, n_salts=8, block_size=128),
-    text_col="text",
+    text_col="content", tokenizer_mode="code",
 )
 build_s = time.perf_counter() - t0
-wand.wand_topk(spark, idx, ["join"], k=10).collect()  # warm
+wand.wand_topk(spark, idx, ["index"], k=10).collect()  # warm
 lats = []
-for terms, mode in [(["join", "hash"], "and"), (["dup", "merge"], "or"), (["scan"], "and")]:
+for terms, mode in [(["index", "merge"], "and"), (["dup", "scan"], "or"), (["def"], "and")]:
     t0 = time.perf_counter()
     wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
     lats.append(time.perf_counter() - t0)
@@ -68,6 +72,21 @@ print("RESULT " + json.dumps({
 }))
 spark.stop()
 """
+
+
+def prep_corpus(n_docs: int) -> Path:
+    """Deterministic code corpus, written once with small row groups so
+    the scan splits across tasks; reused by every run at both levels."""
+    dest = Path(tempfile.gettempdir()) / f"scale_corpus_{n_docs}.parquet"
+    if not dest.exists():
+        import sys as _sys
+
+        _sys.path.insert(0, str(REPO))
+        from fixtures.gen_corpus import gen_corpus
+
+        pdf = gen_corpus(n_docs)
+        pdf.to_parquet(dest, index=False, row_group_size=2000)
+    return dest
 
 
 def make_zip() -> Path:
@@ -97,8 +116,9 @@ def run_once(sf_dir: str, cpus: int, pyz: Path, worker: Path) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_docs_in = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    corpus = prep_corpus(n_docs_in)
     pyz = make_zip()
     worker = Path(tempfile.mkdtemp()) / "scaling_worker.py"
     worker.write_text(WORKER)
@@ -106,7 +126,7 @@ def main() -> None:
     results: dict[int, list[dict]] = {8: [], 32: []}
     for r in range(runs):
         for cpus in (8, 32):
-            res = run_once(sf_dir, cpus, pyz, worker)
+            res = run_once(str(corpus), cpus, pyz, worker)
             results[cpus].append(res)
             print(f"run {r+1}/{runs} local[{cpus}]: {res}", file=sys.stderr)
 
@@ -120,7 +140,7 @@ def main() -> None:
     }
     eff = (med[32]["docs_per_sec"] / med[8]["docs_per_sec"]) / 4
     summary = {
-        "sf_dir": sf_dir,
+        "corpus": str(corpus),
         "runs": runs,
         "n_docs": results[8][0]["n_docs"],
         "local8": med[8],
@@ -133,8 +153,9 @@ def main() -> None:
         "at two parallelism levels on the same input (the in-sandbox\n"
         "evidence for the north_rule's N vs 4N cluster criterion — no real\n"
         "cluster is available here).\n\n"
-        f"- input: `{sf_dir}/documents.parquet` ({summary['n_docs']} docs), "
-        f"{runs} runs, medians reported\n\n"
+        f"- input: deterministic synthetic code corpus "
+        f"({summary['n_docs']} docs, fixtures/gen_corpus.py seed=42, "
+        f"code-aware tokenizer), {runs} runs, medians reported\n\n"
         "| parallelism | build sec | docs/sec | BM25 top-10 p50 sec |\n"
         "|---|---|---|---|\n"
         f"| local[8] | {med[8]['build_s']:.2f} | {med[8]['docs_per_sec']:.0f} | "

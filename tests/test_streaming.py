@@ -1,0 +1,51 @@
+"""§2.10 — streaming incremental build: new files land → stream drains
+→ docs are queryable; second wave appends another generation."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.gen_corpus import gen_corpus
+from open_source_search_engine_spark.index import builder, merge, wand
+from open_source_search_engine_spark.streaming.incremental import (
+    start_incremental_indexer,
+)
+from tests.conftest import TEST_CFG
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    src = tmp_path / "src"
+    idx = tmp_path / "idx"
+    ckpt = tmp_path / "ckpt"
+
+    all_pdf = gen_corpus(n_docs=240)
+    base, w1, w2 = all_pdf[:120], all_pdf[120:180], all_pdf[180:]
+
+    # base index from the initial batch (generation 0)
+    base_df = spark.createDataFrame(base)
+    builder.build_index(
+        spark, base_df, idx, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    schema = base_df.schema
+
+    # wave 1 lands as new parquet files; drain with availableNow
+    spark.createDataFrame(w1).write.mode("append").parquet(str(src))
+    q = start_incremental_indexer(spark, src, idx, schema, ckpt)
+    q.awaitTermination(180)
+    assert merge.current_generations(idx) == [0, 1]
+
+    got = wand.wand_topk(spark, idx, ["def"], k=1000, mode="or").toPandas()
+    seen = set(got["doc_id"])
+    assert any(d >= 120 for d in seen), "wave-1 docs must be searchable"
+
+    # wave 2: restart from the same checkpoint picks up only new files
+    spark.createDataFrame(w2).write.mode("append").parquet(str(src))
+    q2 = start_incremental_indexer(spark, src, idx, schema, ckpt)
+    q2.awaitTermination(180)
+    gens = merge.current_generations(idx)
+    assert gens[-1] > 1 and len(gens) == 3
+
+    got2 = wand.wand_topk(spark, idx, ["def"], k=1000, mode="or").toPandas()
+    assert any(d >= 180 for d in set(got2["doc_id"]))
+    # wave-1 docs still present (checkpoint did not reprocess or lose)
+    assert seen <= set(got2["doc_id"])
