@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- query-language front end (Query.cpp set2; §2.2 F1-F5) ---
         "query_language": lambda s, d: _qlang_q(s, d),
         "query_language_phrase": lambda s, d: _qlang_phrase_q(s, d),
+        # --- synonym OR-groups (SURVEY §2.8 X5) ---
+        "bm25_synonyms": lambda s, d: bm25.bm25_grouped(
+            _docs(s, d), [["join", "merge"], ["hash"]], k=10
+        ),
     }
     q.update(dedup.driver_queries())
     q.update(multimodal.driver_queries())
@@ -146,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": osql.doc_lookup_sql(42),
         "query_language": _qlang_sql(QLANG_Q),
         "query_language_phrase": _qlang_sql(QLANG_PHRASE_Q),
+        "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
     }
     o.update(dedup.driver_oracles())
     o.update(multimodal.driver_oracles())

@@ -32,14 +32,15 @@ _ALNUM_RUN = r"[A-Za-z]+|[0-9]+"
 
 
 def _code_tokenize_series(s: pd.Series, lowercase: bool) -> pd.Series:
-    # all ops are pandas/C vectorized over the whole Arrow batch
+    # all ops are pandas/C vectorized over the whole Arrow batch;
+    # lowering happens on the Series BEFORE findall (camel boundaries
+    # are already spaces by then) — no per-row Python anywhere
     s = s.fillna("")
     s = s.str.replace(_CAMEL_1, " ", regex=True)
     s = s.str.replace(_CAMEL_2, " ", regex=True)
-    toks = s.str.findall(_ALNUM_RUN)
     if lowercase:
-        toks = toks.map(lambda xs: [t.lower() for t in xs])
-    return toks
+        s = s.str.lower()
+    return s.str.findall(_ALNUM_RUN)
 
 
 def code_tokens_udf(lowercase: bool = True):

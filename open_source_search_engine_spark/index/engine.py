@@ -1,0 +1,73 @@
+"""QueryEngine — a warm handle over one index for repeated queries.
+
+The reference keeps termlist metadata and hot lists in RdbCache
+(RdbCache.cpp, SURVEY.md §4 'list caching'); the Spark analog is a
+persisted term_dict DataFrame plus a reused segments DataFrame (file
+listing + schema inference done once, not per query). wand_topk
+re-reads both from disk on every call — fine for one-shot jobs, wasted
+latency for query loops; this wrapper is the query-loop path the bench
+measures.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.index import wand as W
+from open_source_search_engine_spark.index.builder import load_meta
+
+
+class QueryEngine:
+    def __init__(self, spark: SparkSession, index_dir: str | Path):
+        self.spark = spark
+        self.index_dir = Path(index_dir)
+        self.meta = load_meta(index_dir)
+        self.n_buckets = self.meta["config"]["n_buckets"]
+        # vocabulary-sized; hot for every query → persist once
+        self.term_dict = (
+            spark.read.parquet(str(self.index_dir / "term_dict"))
+            .select("term", "term_id", "df")
+            .persist()
+        )
+        self.term_dict.count()
+        self.segments = spark.read.parquet(str(self.index_dir / "segments"))
+        self.tombstones = W._load_tombstones(spark, self.index_dir)
+
+    def refresh(self) -> None:
+        """Pick up new generations/tombstones (after add/delete)."""
+        self.term_dict.unpersist()
+        self.__init__(self.spark, self.index_dir)
+
+    def topk(
+        self, terms: list[str], k: int = 10, mode: str = "and",
+        round_dp: int | None = 5,
+    ) -> DataFrame:
+        trows = [
+            r.asDict()
+            for r in self.term_dict.filter(
+                F.col("term").isin(list(set(terms)))
+            ).collect()
+        ]
+        found = {r["term"] for r in trows}
+        if not trows or (mode == "and" and len(found) < len(set(terms))):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tids = sorted({int(r["term_id"]) for r in trows})
+        buckets = sorted({t % self.n_buckets for t in tids})
+        seg = self.segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
+        )
+        kernel = W.make_salt_kernel(tids, k, mode, self.tombstones)
+        local = seg.groupBy("salt").applyInPandas(kernel, W.KERNEL_SCHEMA)
+        if mode == "and":
+            local = local.filter(F.col("n_terms") == len(tids))
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        score = (
+            F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+        )
+        return out.select("doc_id", score.alias("score"))
+
+    def close(self) -> None:
+        self.term_dict.unpersist()

@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 from open_source_search_engine_spark.config import EngineConfig
 from open_source_search_engine_spark.functions.codec import delta_decode, varint_decode
 from open_source_search_engine_spark.index import builder as B
-from open_source_search_engine_spark.operators.postings import doc_tokens, postings
-from open_source_search_engine_spark.operators.stats import doc_meta, term_stats
+from open_source_search_engine_spark.operators.postings import fast_postings
+from open_source_search_engine_spark.operators.stats import term_stats
 
 TOMBSTONE_SCHEMA = "doc_id long, before_generation int"
 
@@ -89,9 +89,16 @@ def add_documents(
             [(int(d), gen) for d in ids], TOMBSTONE_SCHEMA
         ).write.mode("append").parquet(str(index_dir / "tombstones"))
 
-    tokens = doc_tokens(docs, text_col, "doc_id", mode=tok_mode)
-    posts = postings(tokens, with_positions=False)
-    new_meta_df = doc_meta(docs, tokens, text_col, "doc_id")
+    posts = fast_postings(docs, text_col, "doc_id", mode=tok_mode).persist()
+    lens = posts.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
+    new_meta_df = (
+        docs.select(
+            F.col("doc_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"),
+        )
+        .join(lens, "doc_id", "left")
+        .fillna({"doc_len": 0})
+    )
     new_meta_df.withColumn("gen", F.lit(gen)).write.mode("append").parquet(
         str(index_dir / "doc_meta")
     )
@@ -127,15 +134,18 @@ def add_documents(
     )
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
 
-    tdict = spark.read.parquet(str(index_dir / "term_dict"))
-    scored = B.scored_postings_df(
-        posts, new_meta_df, tdict, meta["n_docs"], meta["avgdl"], cfg
-    ).select(
-        F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
-        B._salt_col(F.col("doc_id"), meta["max_doc_id"], cfg.n_salts),
-        "term_id", "doc_id", "tf", "score",
-    )
-    B._encode_and_write(scored, index_dir, gen, None, cfg, input_snapshot)
+    try:
+        tdict = spark.read.parquet(str(index_dir / "term_dict"))
+        scored = B.scored_postings_df(
+            posts, new_meta_df, tdict, meta["n_docs"], meta["avgdl"], cfg
+        ).select(
+            F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            B._salt_col(F.col("doc_id"), meta["max_doc_id"], cfg.n_salts),
+            "term_id", "doc_id", "tf", "score",
+        )
+        B._encode_and_write(scored, index_dir, gen, None, cfg, input_snapshot)
+    finally:
+        posts.unpersist()
     return meta
 
 

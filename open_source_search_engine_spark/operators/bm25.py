@@ -136,3 +136,59 @@ def bm25_topk_oracle(
         .limit(k)
         .select("doc_id", F.round(F.col("_score"), 5).alias("score"))
     )
+
+
+def bm25_grouped(
+    docs: DataFrame,
+    groups: list[list[str]],
+    k: int = 10,
+    cfg: EngineConfig = EngineConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "simple",
+) -> DataFrame:
+    """Synonym-group scoring (SURVEY.md §2.8 X5; reference:
+    Synonyms.cpp getSynonyms + Posdb.cpp synonym term OR-grouping):
+    each group must match (>=1 member present, default-AND across
+    groups, Query.cpp set2); every present member contributes its BM25
+    term score. Singleton groups degrade to plain AND; one big group
+    is plain OR -- this is the general form of both.
+    """
+    flat = sorted({t for g in groups for t in g})
+    tokens = doc_tokens(docs, text_col, id_col, mode=tokenizer_mode)
+    posts = postings(tokens, with_positions=False)
+    meta = doc_meta(docs, tokens, text_col, id_col)
+    stats = corpus_stats(meta)
+    q_df = (
+        posts.filter(F.col("term").isin(flat))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    gid = None
+    for i, g in enumerate(groups):
+        cond = F.col("term").isin(sorted(set(g)))
+        gid = F.when(cond, i) if gid is None else gid.when(cond, i)
+    scored = (
+        posts.filter(F.col("term").isin(flat))
+        .join(F.broadcast(q_df), "term")
+        .join(meta.select("doc_id", "doc_len"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(
+                F.col("tf"), F.col("df"), F.col("doc_len"),
+                F.col("n_docs"), F.col("avgdl"), cfg,
+            ),
+        )
+        .withColumn("gid", gid)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("_score"),
+        F.countDistinct("gid").alias("_ngroups"),
+    )
+    return (
+        agg.filter(F.col("_ngroups") == len(groups))
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("_score"), 5).alias("score"))
+    )

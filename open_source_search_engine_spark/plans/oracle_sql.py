@@ -276,3 +276,37 @@ FROM cut ORDER BY s DESC, doc_id ASC"""
 def doc_lookup_sql(doc_id: int) -> str:
     """Mirror of operators.snippets.doc_lookup (gbdocid:, SURVEY §3.3)."""
     return f"SELECT * FROM documents WHERE doc_id = {int(doc_id)}"
+
+
+def bm25_grouped_sql(groups: list[list[str]], k: int = 10) -> str:
+    """Mirror of operators.bm25.bm25_grouped (synonym OR-groups, X5)."""
+    flat = sorted({t for g in groups for t in g})
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in flat)
+    gid_cases = " ".join(
+        "WHEN term IN ({}) THEN {}".format(
+            ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(g))), i
+        )
+        for i, g in enumerate(groups)
+    )
+    return f"""{_PRELUDE}, q_df AS (
+  SELECT term, COUNT(*)::DOUBLE AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks_f WHERE term IN ({tl}))
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf,
+         CASE {gid_cases} END AS gid
+  FROM toks_f WHERE term IN ({tl})
+  GROUP BY doc_id, term
+), agg AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n_docs - q_df.df + 0.5)/(q_df.df + 0.5) + 1.0)
+              * tf.tf * ({BM25_PARAMS['k1']} + 1.0)
+              / (tf.tf + {BM25_PARAMS['k1']} * (1.0 - {BM25_PARAMS['b']}
+                    + {BM25_PARAMS['b']} * dl.doc_len / stats.avgdl)) ) AS s,
+         COUNT(DISTINCT tf.gid) AS ngroups
+  FROM tf JOIN q_df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+  HAVING COUNT(DISTINCT tf.gid) = {len(groups)}
+)
+SELECT doc_id, ROUND(s, 5) AS score
+FROM agg ORDER BY s DESC, doc_id ASC LIMIT {k}"""

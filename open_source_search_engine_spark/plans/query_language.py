@@ -20,7 +20,6 @@ whole front end end-to-end.
 from __future__ import annotations
 
 import re
-import shlex
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -50,8 +49,6 @@ class ParsedQuery:
 
 def parse(q: str) -> ParsedQuery:
     out = ParsedQuery()
-    lex = shlex.shlex(q, posix=False)
-    # shlex keeps quoted strings intact with quotes; simpler: regex
     for m in re.finditer(r'[+-]?"[^"]+"|\S+', q):
         tok = m.group(0)
         sign = ""

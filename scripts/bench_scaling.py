@@ -33,24 +33,26 @@ import json, sys, tempfile, time
 from pathlib import Path
 from open_source_search_engine_spark.config import EngineConfig
 from open_source_search_engine_spark.index import builder, wand
-from pyspark.sql import SparkSession
 
 corpus, cpus = sys.argv[1], int(sys.argv[2])
-spark = (
-    SparkSession.builder.appName(f"scaling-{cpus}")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.shuffle.partitions", str(2 * cpus))
-    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-)
+from open_source_search_engine_spark.session import get_spark
+spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 spark.sparkContext.setLogLevel("ERROR")
 # repartition so the map side (tokenize+explode) has uniform
 # parallelism at BOTH levels; cached before the timer so the measured
 # region is the index build alone (BASELINE.md protocol)
 docs = spark.read.parquet(corpus).repartition(4 * cpus).cache()
 n_docs = docs.count()
+# untimed warm-up: spins up every Python worker (pandas/numpy imports)
+# and JIT-warms codegen paths — the steady-state condition a real
+# cluster's long-lived executors are always in (BASELINE.md protocol:
+# warm executor; corpus synthesis/caching excluded from the timer)
+warm_idx = Path(tempfile.mkdtemp(prefix=f"warm_{cpus}_")) / "idx"
+builder.build_index(
+    spark, docs.limit(2000), warm_idx,
+    cfg=EngineConfig(n_buckets=64, n_salts=8, block_size=128),
+    text_col="content", tokenizer_mode="code",
+)
 idx = Path(tempfile.mkdtemp(prefix=f"scale_{cpus}_")) / "idx"
 t0 = time.perf_counter()
 builder.build_index(

@@ -186,3 +186,31 @@ def test_resume_noop_when_complete(spark, tiny_corpus, tmp_path):
         tokenizer_mode="code", resume=True,
     )
     assert sorted(str(p) for p in seg_root.rglob("*.parquet")) == before
+
+
+def test_fast_postings_equals_algebra_path(spark, tiny_corpus):
+    """fast_postings (mapInPandas pre-aggregated) must be row-identical
+    to the algebra path for both tokenizer modes."""
+    from open_source_search_engine_spark.operators.postings import (
+        build_postings,
+        fast_postings,
+    )
+
+    for mode in ("simple", "code"):
+        a = (
+            fast_postings(tiny_corpus, "content", "doc_id", mode)
+            .select("term", "doc_id", "tf")
+            .toPandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            build_postings(tiny_corpus, "content", "doc_id", mode, with_positions=False)
+            .select("term", "doc_id", "tf")
+            .toPandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        a["tf"] = a["tf"].astype("int64")
+        b["tf"] = b["tf"].astype("int64")
+        pd.testing.assert_frame_equal(a, b)
