@@ -14,11 +14,13 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte counts
+    (lets callers slice the stream into sub-ranges without re-encoding
+    — the whole-group encoder in index/segments.py relies on this)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bit_length-1 / 7)
     nbytes = np.ones(v.size, dtype=np.int64)
     for j in range(1, _MAX_VARINT_BYTES):
@@ -34,7 +36,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -114,15 +114,25 @@ def _encode_and_write(
     blocks = sel.groupBy("bucket", "salt").applyInPandas(
         lambda pdf: encode_group(pdf, bs), BLOCK_SCHEMA
     )
+    # cluster the encoded blocks by bucket before the partitioned
+    # write: without this every write task holds rows of MANY buckets
+    # and partitionBy explodes into tasks×buckets small files whose
+    # commit serializes on the driver (measured anti-scaling 8→32
+    # cores). One partition per bucket → one file per bucket dir; the
+    # within-file term_id sort gives parquet row-group min/max stats
+    # that the query path's term_id filter prunes on (RdbMap analog).
+    blocks = (
+        blocks.repartition(cfg.n_buckets, "bucket")
+        .sortWithinPartitions("term_id", "salt", "block_id")
+        .persist()
+    )
     seg_dir = index_dir / "segments" / f"generation={generation}"
     blocks.write.mode("append").partitionBy("bucket").parquet(str(seg_dir))
 
-    # manifest AFTER segments land (the commit point). Re-read what was
-    # written: validates the files and gives exact lineage counts.
-    written = spark.read.parquet(str(seg_dir))
-    if buckets is not None:
-        written = written.filter(F.col("bucket").isin(buckets))
-    man = written.groupBy("bucket").agg(
+    # manifest AFTER segments land (the commit point): aggregated from
+    # the same materialized blocks that were just written — no second
+    # full read of the segment store.
+    man = blocks.groupBy("bucket").agg(
         F.countDistinct("term_id").alias("n_terms"),
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum("n_docs").alias("n_postings"),
@@ -134,6 +144,7 @@ def _encode_and_write(
     )
     man_dir = index_dir / "manifest" / f"generation={generation}"
     man.write.mode("append").parquet(str(man_dir))
+    blocks.unpersist()
 
 
 def done_buckets(spark: SparkSession, index_dir: str | Path, generation: int = 0) -> set[int]:

@@ -25,11 +25,9 @@ import pandas as pd
 
 from open_source_search_engine_spark.functions.codec import (
     delta_decode,
-    delta_encode,
     f64_decode,
-    f64_encode,
     varint_decode,
-    varint_encode,
+    varint_encode_with_sizes,
 )
 
 BLOCK_SCHEMA = (
@@ -44,7 +42,12 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Encode one (bucket, salt) group of scored postings into block
     rows. Input columns: bucket, salt, term_id, doc_id, tf, score.
     Rows within a term are doc_id-sorted here (the RdbDump sorted-run
-    invariant, RdbDump.cpp dumpTree)."""
+    invariant, RdbDump.cpp dumpTree).
+
+    Whole-group vectorized: gaps + varints are computed over ALL
+    postings in one numpy pass, then sliced into per-block blobs by
+    byte offset — the only Python loop is a bytes-slice per block.
+    Output blobs are byte-identical to encoding each block alone."""
     if len(pdf) == 0:
         return _empty_blocks()
     pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
@@ -54,45 +57,53 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     scores = pdf["score"].to_numpy(np.float64)
     bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
+    n = len(term_ids)
 
     # position of each posting within its term, then block id
     term_change = np.flatnonzero(np.diff(term_ids)) + 1
     starts = np.concatenate(([0], term_change))
-    term_start_of = np.repeat(starts, np.diff(np.concatenate((starts, [len(term_ids)]))))
-    within = np.arange(len(term_ids)) - term_start_of
+    term_start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
+    within = np.arange(n) - term_start_of
     block_of = within // block_size
 
     # block boundaries: change in (term_id, block_of)
     change = np.flatnonzero((np.diff(term_ids) != 0) | (np.diff(block_of) != 0)) + 1
     b_starts = np.concatenate(([0], change))
-    b_ends = np.concatenate((change, [len(term_ids)]))
+    b_ends = np.concatenate((change, [n]))
 
-    rows = []
-    for s, e in zip(b_starts, b_ends):
-        d = doc_ids[s:e]
-        rows.append(
-            (
-                bucket,
-                salt,
-                int(term_ids[s]),
-                int(block_of[s]),
-                int(d[0]),
-                int(d[-1]),
-                int(e - s),
-                float(scores[s:e].max()),
-                delta_encode(d),
-                varint_encode(tfs[s:e].astype(np.uint64)),
-                f64_encode(scores[s:e]),
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "bucket", "salt", "term_id", "block_id", "doc_id_min",
-            "doc_id_max", "n_docs", "block_max_score", "docs_blob",
-            "tfs_blob", "scores_blob",
+    # delta-gap stream with an ABSOLUTE value at every block start
+    # (each block decodes standalone), varint-encoded in one pass
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")
+    gaps[b_starts] = doc_ids[b_starts].astype(np.uint64)
+    d_bytes, d_sizes = varint_encode_with_sizes(gaps)
+    d_off = np.concatenate(([0], np.cumsum(d_sizes)))
+    t_bytes, t_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
+    t_off = np.concatenate(([0], np.cumsum(t_sizes)))
+    s_bytes = scores.tobytes()
+
+    block_max = np.maximum.reduceat(scores, b_starts)
+    out = {
+        "bucket": np.full(b_starts.size, bucket, dtype=np.int32),
+        "salt": np.full(b_starts.size, salt, dtype=np.int32),
+        "term_id": term_ids[b_starts],
+        "block_id": block_of[b_starts].astype(np.int32),
+        "doc_id_min": doc_ids[b_starts],
+        "doc_id_max": doc_ids[b_ends - 1],
+        "n_docs": (b_ends - b_starts).astype(np.int32),
+        "block_max_score": block_max,
+        "docs_blob": [
+            d_bytes[d_off[s]:d_off[e]] for s, e in zip(b_starts, b_ends)
         ],
-    )
+        "tfs_blob": [
+            t_bytes[t_off[s]:t_off[e]] for s, e in zip(b_starts, b_ends)
+        ],
+        "scores_blob": [
+            s_bytes[8 * s:8 * e] for s, e in zip(b_starts, b_ends)
+        ],
+    }
+    return pd.DataFrame(out)
 
 
 def _empty_blocks() -> pd.DataFrame:

@@ -118,16 +118,18 @@ def run_once(sf_dir: str, cpus: int, pyz: Path, worker: Path) -> dict:
 
 
 def main() -> None:
-    n_docs_in = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
+    n_docs_in = int(sys.argv[1]) if len(sys.argv) > 1 else 360_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     corpus = prep_corpus(n_docs_in)
     pyz = make_zip()
     worker = Path(tempfile.mkdtemp()) / "scaling_worker.py"
     worker.write_text(WORKER)
 
-    results: dict[int, list[dict]] = {8: [], 32: []}
+    results: dict[int, list[dict]] = {lo: [], hi: []}
     for r in range(runs):
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             res = run_once(str(corpus), cpus, pyz, worker)
             results[cpus].append(res)
             print(f"run {r+1}/{runs} local[{cpus}]: {res}", file=sys.stderr)
@@ -140,13 +142,13 @@ def main() -> None:
         }
         for c, v in results.items()
     }
-    eff = (med[32]["docs_per_sec"] / med[8]["docs_per_sec"]) / 4
+    eff = (med[hi]["docs_per_sec"] / med[lo]["docs_per_sec"]) / (hi / lo)
     summary = {
         "corpus": str(corpus),
         "runs": runs,
-        "n_docs": results[8][0]["n_docs"],
-        "local8": med[8],
-        "local32": med[32],
+        "n_docs": results[lo][0]["n_docs"],
+        f"local{lo}": med[lo],
+        f"local{hi}": med[hi],
         "scaling_efficiency_4x": round(eff, 3),
     }
     (REPO / "BENCH.md").write_text(
@@ -160,12 +162,12 @@ def main() -> None:
         f"code-aware tokenizer), {runs} runs, medians reported\n\n"
         "| parallelism | build sec | docs/sec | BM25 top-10 p50 sec |\n"
         "|---|---|---|---|\n"
-        f"| local[8] | {med[8]['build_s']:.2f} | {med[8]['docs_per_sec']:.0f} | "
-        f"{med[8]['query_p50_s']:.3f} |\n"
-        f"| local[32] | {med[32]['build_s']:.2f} | {med[32]['docs_per_sec']:.0f} | "
-        f"{med[32]['query_p50_s']:.3f} |\n\n"
-        f"**Scaling efficiency (8→32 cores, ×4):** "
-        f"`(docs_per_sec_32 / docs_per_sec_8) / 4 = {eff:.3f}`"
+        f"| local[{lo}] | {med[lo]['build_s']:.2f} | {med[lo]['docs_per_sec']:.0f} | "
+        f"{med[lo]['query_p50_s']:.3f} |\n"
+        f"| local[{hi}] | {med[hi]['build_s']:.2f} | {med[hi]['docs_per_sec']:.0f} | "
+        f"{med[hi]['query_p50_s']:.3f} |\n\n"
+        f"**Scaling efficiency ({lo}→{hi} cores, ×{hi//lo}):** "
+        f"`(docs_per_sec_{hi} / docs_per_sec_{lo}) / {hi//lo} = {eff:.3f}`"
         f" (target ≥ 0.8)\n\n"
         "Caveat: a single-box core scale-up under-states a real cluster's\n"
         "efficiency ceiling (shared memory bandwidth, one shuffle service,\n"
