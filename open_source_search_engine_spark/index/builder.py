@@ -35,6 +35,7 @@ re-read or re-written.
 from __future__ import annotations
 
 import json
+import shutil
 import time
 from dataclasses import asdict
 from pathlib import Path
@@ -43,9 +44,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.config import EngineConfig
-from open_source_search_engine_spark.index.segments import BLOCK_SCHEMA, encode_group
+from open_source_search_engine_spark.index.segments import (
+    BLOCK_SCHEMA,
+    make_encode_kernel,
+)
 from open_source_search_engine_spark.operators.bm25 import bm25_term_score_col
-from open_source_search_engine_spark.operators.postings import fast_postings
+from open_source_search_engine_spark.operators.postings import staged_postings
 from open_source_search_engine_spark.operators.stats import term_stats
 
 MANIFEST_SCHEMA = (
@@ -72,7 +76,7 @@ def _write_meta(index_dir: Path, meta: dict) -> None:
 
 def scored_postings_df(
     posts: DataFrame,
-    meta_df: DataFrame,
+    meta_df: DataFrame | None,
     tdict: DataFrame,
     n_docs: float,
     avgdl: float,
@@ -80,10 +84,17 @@ def scored_postings_df(
 ) -> DataFrame:
     """Attach the precomputed float64 BM25 contribution to every
     posting (static-feature precompute, SURVEY.md §4). tdict supplies
-    global df; broadcast — it is ~vocabulary-sized."""
+    global df; broadcast — it is ~vocabulary-sized.
+
+    ``meta_df=None`` means posts already carry a ``doc_len`` column
+    (fast_postings emits it in-batch): the scoring is then a single
+    broadcast join + column math, with NO shuffle of the postings by
+    doc_id. Pass a meta_df only for posting sources without doc_len
+    (e.g. compact's segment-decoded postings)."""
+    if meta_df is not None:
+        posts = posts.join(meta_df.select("doc_id", "doc_len"), "doc_id")
     return (
         posts.join(F.broadcast(tdict.select("term_id", "df")), "term_id")
-        .join(meta_df.select("doc_id", "doc_len"), "doc_id")
         .withColumn(
             "score",
             bm25_term_score_col(
@@ -101,18 +112,28 @@ def _encode_and_write(
     buckets: list[int] | None,
     cfg: EngineConfig,
     input_snapshot: str,
+    max_doc_id: int,
 ) -> None:
     """Encode (a subset of buckets of) scored postings into block rows,
-    write segments + manifest rows. The applyInPandas groupBy is THE
-    salted shuffle: (bucket, salt) keys spread a head term over
-    n_salts partitions."""
+    write segments + manifest rows.
+
+    ``scored`` needs only (term_id, doc_id, tf, score): the repartition
+    below is THE salted shuffle — it hashes on the (bucket, salt)
+    EXPRESSIONS without materializing them as columns (8 fewer bytes
+    per shuffled posting), spreading a Zipf head term over n_salts
+    partitions; the mapInPandas kernel recomputes bucket/salt in numpy
+    and encodes its whole partition in one pass (segments.py
+    make_encode_kernel)."""
     spark = scored.sparkSession
-    sel = scored.select("bucket", "salt", "term_id", "doc_id", "tf", "score")
+    sel = scored.select("term_id", "doc_id", "tf", "score")
+    bucket_expr = F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
     if buckets is not None:
-        sel = sel.filter(F.col("bucket").isin(buckets))
-    bs = cfg.block_size
-    blocks = sel.groupBy("bucket", "salt").applyInPandas(
-        lambda pdf: encode_group(pdf, bs), BLOCK_SCHEMA
+        sel = sel.filter(bucket_expr.isin(buckets))
+    blocks = sel.repartition(
+        bucket_expr, _salt_col(F.col("doc_id"), max_doc_id, cfg.n_salts)
+    ).mapInPandas(
+        make_encode_kernel(cfg.block_size, cfg.n_buckets, max_doc_id, cfg.n_salts),
+        BLOCK_SCHEMA,
     )
     # cluster the encoded blocks by bucket before the partitioned
     # write: without this every write task holds rows of MANY buckets
@@ -174,78 +195,87 @@ def build_index(
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
 
-    # ONE tokenize pass, materialized and reused by every downstream
-    # stage (the RdbTree memtable moment — nothing re-reads raw text).
-    # fast_postings aggregates tf inside the tokenizer batch and emits
-    # pre-combined rows: no token-stream shuffle at all (measured 3.5×
-    # less Arrow traffic; without the persist each stage re-tokenized).
-    posts = fast_postings(docs, text_col, id_col, mode=tokenizer_mode).persist()
-
+    # ONE tokenize pass, staged to parquet and reused by every
+    # downstream stage (the RdbTree memtable moment — nothing re-reads
+    # raw text). staged_postings emits pre-combined posting rows AND
+    # per-doc meta rows (doc_len, sha256) from the same batch, so
+    # doc_meta is a pure FILTER of the staged output — no groupBy, no
+    # join back to the source table. Parquet staging beats a JVM
+    # .persist() here: columnar compressed, column-pruned downstream
+    # scans, no executor-memory/GC pressure, and a crashed build
+    # resumes WITHOUT re-tokenizing (the staging dir survives until the
+    # build completes). On a real cluster it lives on the shared store
+    # next to the index.
+    staging = index_dir / "_staging"
     meta_path = index_dir / "meta.json"
     dm_dir = index_dir / "doc_meta"
     td_dir = index_dir / "term_dict"
-    try:
-        if resume and meta_path.exists() and dm_dir.exists() and td_dir.exists():
-            meta = load_meta(index_dir)
-        else:
-            # doc_len = Σ tf over the materialized postings — identical
-            # to the token count, avoids a second tokenizer pass
-            lens = posts.groupBy("doc_id").agg(
-                F.sum("tf").cast("int").alias("doc_len")
-            )
-            id_cols = [
-                F.col(id_col).alias("doc_id"),
-                F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"),
-            ] + [F.col(c) for c in (extra_meta_cols or [])]
-            meta_df = (
-                docs.select(*id_cols)
-                .join(lens, "doc_id", "left")
-                .fillna({"doc_len": 0})
-            )
-            meta_df.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
-                str(dm_dir)
-            )
-            term_stats(posts).write.mode("overwrite").parquet(str(td_dir))
-            # stats pass: ONE tiny agg row to the driver
-            stats_row = (
-                spark.read.parquet(str(dm_dir))
-                .agg(
-                    F.count(F.lit(1)).cast("double").alias("n_docs"),
-                    F.avg("doc_len").alias("avgdl"),
-                    F.max("doc_id").alias("max_doc_id"),
-                )
-                .collect()[0]
-            )
-            meta = {
-                "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
-                "n_docs": float(stats_row["n_docs"]),
-                "avgdl": float(stats_row["avgdl"]),
-                "max_doc_id": int(stats_row["max_doc_id"]),
-                "generations": [0],
-                "tokenizer_mode": tokenizer_mode,
-                "text_col": text_col,
-            }
-            _write_meta(index_dir, meta)
-
-        todo: list[int] | None = None
-        if resume:
-            done = done_buckets(spark, index_dir, 0)
-            todo = sorted(set(range(cfg.n_buckets)) - done)
-            if not todo:
-                return meta
-
-        meta_p = spark.read.parquet(str(dm_dir))
-        tdict = spark.read.parquet(str(td_dir))
-        scored = scored_postings_df(
-            posts, meta_p, tdict, meta["n_docs"], meta["avgdl"], cfg
-        ).select(
-            F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
-            _salt_col(F.col("doc_id"), meta["max_doc_id"], cfg.n_salts),
-            "term_id", "doc_id", "tf", "score",
+    if not (resume and (staging / "_SUCCESS").exists()):
+        staged_postings(docs, text_col, id_col, mode=tokenizer_mode).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+    # NOTE: on failure anywhere below, the staging dir is left in
+    # place — a resumed build reuses it and skips the tokenize pass
+    # entirely (checkpoint semantics); it is deleted on commit only.
+    sp = spark.read.parquet(str(staging))
+    posts = sp.filter(F.col("tf") > 0)
+    if resume and meta_path.exists() and dm_dir.exists() and td_dir.exists():
+        meta = load_meta(index_dir)
+    else:
+        meta_df = sp.filter(F.col("tf") == 0).select(
+            "doc_id", F.col("sha").alias("content_sha256"), "doc_len"
         )
-        _encode_and_write(scored, index_dir, 0, todo, cfg, input_snapshot)
-    finally:
-        posts.unpersist()
+        if extra_meta_cols:
+            meta_df = meta_df.join(
+                docs.select(F.col(id_col).alias("doc_id"), *extra_meta_cols),
+                "doc_id",
+                "left",
+            )
+        meta_df.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
+            str(dm_dir)
+        )
+        # term_dict range-partitioned + sorted by term: query-side
+        # term lookup prunes files/row-groups on term min/max stats
+        # (the RdbMap seek applied to the dictionary)
+        term_stats(posts).repartitionByRange(8, "term").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(str(td_dir))
+        # stats pass: ONE tiny agg row to the driver
+        stats_row = (
+            spark.read.parquet(str(dm_dir))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect()[0]
+        )
+        meta = {
+            "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
+            "n_docs": float(stats_row["n_docs"]),
+            "avgdl": float(stats_row["avgdl"]),
+            "max_doc_id": int(stats_row["max_doc_id"]),
+            "generations": [0],
+            "tokenizer_mode": tokenizer_mode,
+            "text_col": text_col,
+        }
+        _write_meta(index_dir, meta)
+
+    todo: list[int] | None = None
+    if resume:
+        done = done_buckets(spark, index_dir, 0)
+        todo = sorted(set(range(cfg.n_buckets)) - done)
+        if not todo:
+            shutil.rmtree(staging, ignore_errors=True)
+            return meta
+
+    tdict = spark.read.parquet(str(td_dir))
+    scored = scored_postings_df(
+        posts, None, tdict, meta["n_docs"], meta["avgdl"], cfg
+    )
+    _encode_and_write(
+        scored, index_dir, 0, todo, cfg, input_snapshot, meta["max_doc_id"]
+    )
 
     # every bucket (incl. legitimately empty ones) must reach the
     # manifest so a resumed build knows the generation is complete
@@ -256,4 +286,6 @@ def build_index(
             [(b, 0, 0, 0, "", input_snapshot) for b in missing_empty],
             MANIFEST_SCHEMA,
         ).write.mode("append").parquet(str(index_dir / "manifest" / "generation=0"))
+    # build committed — drop the staging checkpoint
+    shutil.rmtree(staging, ignore_errors=True)
     return meta

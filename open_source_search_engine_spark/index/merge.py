@@ -90,7 +90,7 @@ def add_documents(
         ).write.mode("append").parquet(str(index_dir / "tombstones"))
 
     posts = fast_postings(docs, text_col, "doc_id", mode=tok_mode).persist()
-    lens = posts.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doc_len"))
+    lens = posts.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
     new_meta_df = (
         docs.select(
             F.col("doc_id"),
@@ -137,13 +137,11 @@ def add_documents(
     try:
         tdict = spark.read.parquet(str(index_dir / "term_dict"))
         scored = B.scored_postings_df(
-            posts, new_meta_df, tdict, meta["n_docs"], meta["avgdl"], cfg
-        ).select(
-            F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
-            B._salt_col(F.col("doc_id"), meta["max_doc_id"], cfg.n_salts),
-            "term_id", "doc_id", "tf", "score",
+            posts, None, tdict, meta["n_docs"], meta["avgdl"], cfg
         )
-        B._encode_and_write(scored, index_dir, gen, None, cfg, input_snapshot)
+        B._encode_and_write(
+            scored, index_dir, gen, None, cfg, input_snapshot, meta["max_doc_id"]
+        )
     finally:
         posts.unpersist()
     return meta
@@ -233,11 +231,7 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
         )
     )
 
-    scored = B.scored_postings_df(posts, dm_live, new_dict, n_docs, avgdl, cfg).select(
-        F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
-        B._salt_col(F.col("doc_id"), max_id, cfg.n_salts),
-        "term_id", "doc_id", "tf", "score",
-    )
+    scored = B.scored_postings_df(posts, dm_live, new_dict, n_docs, avgdl, cfg)
 
     # stage the new store, then swap (atomic-ish; on a real deployment
     # this is an Iceberg snapshot commit)
@@ -245,7 +239,7 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
     if stage.exists():
         shutil.rmtree(stage)
     stage.mkdir(parents=True)
-    B._encode_and_write(scored, stage, 0, None, cfg, "compact")
+    B._encode_and_write(scored, stage, 0, None, cfg, "compact", max_id)
     dm_live.withColumn("gen", F.lit(0)).write.parquet(str(stage / "doc_meta"))
     new_dict.write.parquet(str(stage / "term_dict"))
 

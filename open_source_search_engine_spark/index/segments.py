@@ -38,36 +38,41 @@ BLOCK_SCHEMA = (
 )
 
 
-def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode one (bucket, salt) group of scored postings into block
-    rows. Input columns: bucket, salt, term_id, doc_id, tf, score.
-    Rows within a term are doc_id-sorted here (the RdbDump sorted-run
-    invariant, RdbDump.cpp dumpTree).
+def _encode_sorted(
+    buckets: np.ndarray,
+    salts: np.ndarray,
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    scores: np.ndarray,
+    block_size: int,
+) -> pd.DataFrame:
+    """Encode postings ALREADY sorted by (bucket, salt, term_id,
+    doc_id) — any mix of (bucket, salt) runs — into block rows.
 
-    Whole-group vectorized: gaps + varints are computed over ALL
+    Whole-array vectorized: gaps + varints are computed over ALL
     postings in one numpy pass, then sliced into per-block blobs by
     byte offset — the only Python loop is a bytes-slice per block.
-    Output blobs are byte-identical to encoding each block alone."""
-    if len(pdf) == 0:
-        return _empty_blocks()
-    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
-    term_ids = pdf["term_id"].to_numpy(np.int64)
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    scores = pdf["score"].to_numpy(np.float64)
-    bucket = int(pdf["bucket"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
-    n = len(term_ids)
+    Output blobs are byte-identical to encoding each block alone
+    (each block's delta stream restarts with an absolute doc_id)."""
+    n = term_ids.size
 
-    # position of each posting within its term, then block id
-    term_change = np.flatnonzero(np.diff(term_ids)) + 1
-    starts = np.concatenate(([0], term_change))
-    term_start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
-    within = np.arange(n) - term_start_of
+    # a posting "run" = one (bucket, salt, term) list; position of
+    # each posting within its run, then block id
+    run_change = np.flatnonzero(
+        (np.diff(term_ids) != 0)
+        | (np.diff(buckets) != 0)
+        | (np.diff(salts) != 0)
+    ) + 1
+    starts = np.concatenate(([0], run_change))
+    run_start_of = np.repeat(starts, np.diff(np.concatenate((starts, [n]))))
+    within = np.arange(n) - run_start_of
     block_of = within // block_size
 
-    # block boundaries: change in (term_id, block_of)
-    change = np.flatnonzero((np.diff(term_ids) != 0) | (np.diff(block_of) != 0)) + 1
+    # block boundaries: run change OR block_of change
+    is_run_change = np.zeros(n, dtype=bool)
+    is_run_change[run_change] = True
+    change = np.flatnonzero(is_run_change[1:] | (np.diff(block_of) != 0)) + 1
     b_starts = np.concatenate(([0], change))
     b_ends = np.concatenate((change, [n]))
 
@@ -85,8 +90,8 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
     block_max = np.maximum.reduceat(scores, b_starts)
     out = {
-        "bucket": np.full(b_starts.size, bucket, dtype=np.int32),
-        "salt": np.full(b_starts.size, salt, dtype=np.int32),
+        "bucket": buckets[b_starts].astype(np.int32),
+        "salt": salts[b_starts].astype(np.int32),
         "term_id": term_ids[b_starts],
         "block_id": block_of[b_starts].astype(np.int32),
         "doc_id_min": doc_ids[b_starts],
@@ -104,6 +109,69 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         ],
     }
     return pd.DataFrame(out)
+
+
+def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one (bucket, salt) group of scored postings into block
+    rows. Input columns: bucket, salt, term_id, doc_id, tf, score.
+    Rows within a term are doc_id-sorted here (the RdbDump sorted-run
+    invariant, RdbDump.cpp dumpTree)."""
+    if len(pdf) == 0:
+        return _empty_blocks()
+    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
+    return _encode_sorted(
+        pdf["bucket"].to_numpy(np.int64),
+        pdf["salt"].to_numpy(np.int64),
+        pdf["term_id"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["score"].to_numpy(np.float64),
+        block_size,
+    )
+
+
+def make_encode_kernel(
+    block_size: int, n_buckets: int, max_doc_id: int, n_salts: int
+):
+    """mapInPandas kernel: encode one shuffle PARTITION of scored
+    postings (columns term_id, doc_id, tf, score) into block rows.
+
+    bucket and salt are recomputed here from term_id / doc_id instead
+    of being shuffled as columns — the shuffle moves 8 fewer bytes per
+    posting, and the whole partition is encoded in ONE numpy pass with
+    one Arrow conversion each way (vs one per (bucket, salt) group
+    under groupBy().applyInPandas). The caller must have partitioned
+    rows by the SAME (bucket, salt) expressions so every run is whole
+    within the partition (builder._encode_and_write does)."""
+    width = salt_width(max_doc_id, n_salts)
+
+    def it(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            yield _empty_blocks()
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        term_ids = pdf["term_id"].to_numpy(np.int64)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        buckets = term_ids % n_buckets
+        salts = np.minimum(doc_ids // width, n_salts - 1)
+        order = np.lexsort((doc_ids, term_ids, salts, buckets))
+        yield _encode_sorted(
+            buckets[order],
+            salts[order],
+            term_ids[order],
+            doc_ids[order],
+            pdf["tf"].to_numpy(np.int64)[order],
+            pdf["score"].to_numpy(np.float64)[order],
+            block_size,
+        )
+
+    return it
+
+
+def salt_width(max_doc_id: int, n_salts: int) -> int:
+    """doc_id-range width of one salt — MUST match builder._salt_col."""
+    return max(1, (max_doc_id + n_salts) // n_salts)
 
 
 def _empty_blocks() -> pd.DataFrame:

@@ -49,23 +49,25 @@ def build_postings(
     return postings(doc_tokens(docs, text_col, id_col, mode), with_positions)
 
 
-def fast_postings(
+def staged_postings(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "simple",
 ) -> DataFrame:
-    """(term, doc_id, tf, term_id) — the BUILD-path postings producer.
+    """Union-layout build intermediate: ONE tokenizer pass emits both
+    posting rows and per-doc meta rows in a single schema
 
-    Where the algebra path ships every token occurrence through Arrow
-    and shuffles it into groupBy(term, doc_id) (XmlDoc::hashAll one key
-    per occurrence), this one aggregates tf inside the tokenizer batch
-    (pandas C groupby) and emits pre-aggregated rows from mapInPandas:
-    ~3.5× less Arrow traffic at our token/doc ratio and ZERO shuffle —
-    tf per (doc, term) is complete within the doc's batch, the map-side
-    combine taken to its limit. Must stay row-identical to
-    ``build_postings(..., with_positions=False)`` (tested).
-    """
+        posting row:  (term, doc_id, tf>0, doc_len, sha=NULL)
+        meta row:     (term=NULL, doc_id, tf=0, doc_len, sha)
+
+    so the whole build needs exactly one pass over the raw text and
+    doc_meta becomes a FILTER of the staged output — no groupBy, no
+    join back to the source table (the reference indexes a doc once in
+    XmlDoc::indexDoc and emits posdb keys + the TitleRec from the same
+    parse — SURVEY.md §3.2; this is that shape). sha256 is computed
+    JVM-side (F.sha2) and passed through the tokenizer batch untouched;
+    it rides on the ~n_docs meta rows only, not on postings."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -79,7 +81,7 @@ def fast_postings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            text = pdf[text_col].fillna("")
+            text = pdf["__text"].fillna("")
             if mode == "code":
                 toks = _code_tokenize_series(text, lowercase=True)
             elif mode == "simple":
@@ -87,12 +89,25 @@ def fast_postings(
             else:  # pragma: no cover
                 raise ValueError(f"unknown tokenizer mode: {mode}")
             lens = toks.str.len().to_numpy()
+            ids = pdf["doc_id"].to_numpy()
+            meta = pd.DataFrame(
+                {
+                    "term": pd.Series([None] * len(pdf), dtype=object),
+                    "doc_id": ids,
+                    "tf": np.zeros(len(pdf), dtype="int32"),
+                    "doc_len": lens.astype("int32"),
+                    "sha": pdf["__sha"].to_numpy(),
+                }
+            )
             if lens.sum() == 0:
+                yield meta
                 continue
             flat = pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].to_numpy().repeat(lens),
-                    "term": np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+                    "doc_id": ids.repeat(lens),
+                    "term": np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks]
+                    ),
                 }
             )
             out = (
@@ -101,9 +116,49 @@ def fast_postings(
                 .reset_index(name="tf")
             )
             out["tf"] = out["tf"].astype("int32")
-            yield out[["term", "doc_id", "tf"]]
+            len_of = pd.Series(lens, index=ids)
+            out["doc_len"] = out["doc_id"].map(len_of).astype("int32")
+            out["sha"] = pd.Series([None] * len(out), dtype=object)
+            yield pd.concat(
+                [out[["term", "doc_id", "tf", "doc_len", "sha"]], meta],
+                ignore_index=True,
+            )
 
-    posts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).mapInPandas(
-        it, "term string, doc_id long, tf int"
+    sel = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("__sha"),
     )
-    return posts.withColumn("term_id", term_id_col(F.col("term")))
+    staged = sel.mapInPandas(
+        it, "term string, doc_id long, tf int, doc_len int, sha string"
+    )
+    return staged.withColumn("term_id", term_id_col(F.col("term")))
+
+
+def fast_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "simple",
+) -> DataFrame:
+    """(term, doc_id, tf, doc_len, term_id) — posting rows only.
+
+    Where the algebra path ships every token occurrence through Arrow
+    and shuffles it into groupBy(term, doc_id) (XmlDoc::hashAll one key
+    per occurrence), staged_postings aggregates tf inside the tokenizer
+    batch (pandas C groupby) and emits pre-aggregated rows from
+    mapInPandas: ~3.5× less Arrow traffic at our token/doc ratio and
+    ZERO shuffle — tf per (doc, term) is complete within the doc's
+    batch, the map-side combine taken to its limit. ``doc_len``
+    (BM25's dl) rides along on every posting row, so scoring needs NO
+    doc_id join back to doc_meta (the reference analog is posdb keys
+    carrying precomputed per-doc ranks, Posdb.h key layout,
+    SURVEY.md §1.3). Must stay row-identical to
+    ``build_postings(..., with_positions=False)`` on
+    (term, doc_id, tf) (tested).
+    """
+    return (
+        staged_postings(docs, text_col, id_col, mode)
+        .filter(F.col("tf") > 0)
+        .drop("sha")
+    )
