@@ -59,21 +59,36 @@ def main() -> None:
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
-
-    # --- index build (M3) ---
-    idx = Path(tempfile.mkdtemp(prefix="bench_idx_")) / "idx"
+    tmp = Path(tempfile.mkdtemp(prefix="bench_idx_"))
     cfg = EngineConfig(n_buckets=64, n_salts=8, block_size=128)
-    t0 = time.perf_counter()
-    builder.build_index(spark, docs, idx, cfg=cfg, text_col="text")
-    timings["index_build"] = round(time.perf_counter() - t0, 3)
 
-    # --- WAND query latency (M4): warm-up then p50 over pinned set ---
+    # --- index build (M3): untimed warm-up (spins up every Python
+    # worker, JIT-warms codegen — the steady state of a long-lived
+    # cluster's executors), then median of 3 timed builds (this VM has
+    # a noisy co-tenant; single-shot timings swing ±40%) ---
+    builder.build_index(
+        spark, docs.limit(500), tmp / "warm", cfg=cfg, text_col="text"
+    )
+    builds = []
+    for i in range(3):
+        idx = tmp / f"idx{i}"
+        t0 = time.perf_counter()
+        builder.build_index(spark, docs, idx, cfg=cfg, text_col="text")
+        builds.append(time.perf_counter() - t0)
+    timings["index_build"] = round(statistics.median(builds), 3)
+
+    # --- WAND query latency (M4): warm-up then p50 over pinned set,
+    # each query the median of 3 runs ---
+    idx = tmp / "idx0"
     wand.wand_topk(spark, idx, ["join"], k=10).collect()
     lats = []
     for terms, mode in PINNED_QUERIES:
-        t0 = time.perf_counter()
-        wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
-        lats.append(time.perf_counter() - t0)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
+            reps.append(time.perf_counter() - t0)
+        lats.append(statistics.median(reps))
     timings["wand_topk_p50"] = round(statistics.median(lats), 3)
     timings["wand_topk_total"] = round(sum(lats), 3)
 
@@ -90,9 +105,12 @@ def main() -> None:
         "ann_cosine_topk",
         "token_counts",
     ]:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

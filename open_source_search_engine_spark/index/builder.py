@@ -37,10 +37,14 @@ from __future__ import annotations
 import json
 import shutil
 import time
+import uuid
 from dataclasses import asdict
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.config import EngineConfig
@@ -152,28 +156,63 @@ def _encode_and_write(
 
     # manifest AFTER segments land (the commit point): aggregated from
     # the same materialized blocks that were just written — no second
-    # full read of the segment store.
-    man = blocks.groupBy("bucket").agg(
-        F.countDistinct("term_id").alias("n_terms"),
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum("n_docs").alias("n_postings"),
-    )
-    man = man.select(
-        "bucket", "n_terms", "n_blocks", "n_postings",
-        F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())).alias("built_at"),
-        F.lit(input_snapshot).alias("input_snapshot"),
-    )
-    man_dir = index_dir / "manifest" / f"generation={generation}"
-    man.write.mode("append").parquet(str(man_dir))
+    # full read of the segment store. Every bucket this call was
+    # responsible for gets a row (empty buckets included) so a resumed
+    # build can tell "done and empty" from "not yet encoded".
+    man_rows = {
+        r["bucket"]: r
+        for r in blocks.groupBy("bucket")
+        .agg(
+            F.countDistinct("term_id").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n_docs").alias("n_postings"),
+        )
+        .collect()
+    }
     blocks.unpersist()
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    want = buckets if buckets is not None else range(cfg.n_buckets)
+    rows = [
+        (
+            int(b),
+            int(man_rows[b]["n_terms"]) if b in man_rows else 0,
+            int(man_rows[b]["n_blocks"]) if b in man_rows else 0,
+            int(man_rows[b]["n_postings"]) if b in man_rows else 0,
+            ts,
+            input_snapshot,
+        )
+        for b in want
+    ]
+    # manifest rows are driver-known metadata — write the parquet file
+    # straight from the driver with pyarrow (the Iceberg pattern: the
+    # committer writes manifests, not a distributed job). A Spark
+    # createDataFrame().write of 64 rows costs ~5 s of job overhead.
+    man_dir = index_dir / "manifest" / f"generation={generation}"
+    man_dir.mkdir(parents=True, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(cols[0], pa.int32()),
+                "n_terms": pa.array(cols[1], pa.int64()),
+                "n_blocks": pa.array(cols[2], pa.int64()),
+                "n_postings": pa.array(cols[3], pa.int64()),
+                "built_at": pa.array(cols[4], pa.string()),
+                "input_snapshot": pa.array(cols[5], pa.string()),
+            }
+        ),
+        man_dir / f"manifest-{uuid.uuid4().hex}.parquet",
+    )
 
 
 def done_buckets(spark: SparkSession, index_dir: str | Path, generation: int = 0) -> set[int]:
     man_dir = Path(index_dir) / "manifest" / f"generation={generation}"
     if not man_dir.exists():
         return set()
-    rows = spark.read.parquet(str(man_dir)).select("bucket").distinct().collect()
-    return {r["bucket"] for r in rows}
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(str(man_dir), format="parquet").to_table(columns=["bucket"])
+    return set(tbl["bucket"].to_pylist())
 
 
 def build_index(
@@ -231,25 +270,22 @@ def build_index(
                 "doc_id",
                 "left",
             )
-        meta_df.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
-            str(dm_dir)
-        )
-        # term_dict range-partitioned + sorted by term: query-side
-        # term lookup prunes files/row-groups on term min/max stats
-        # (the RdbMap seek applied to the dictionary)
-        term_stats(posts).repartitionByRange(8, "term").sortWithinPartitions(
+        # corpus stats observed ON the doc_meta write itself — no
+        # second job/scan (Observation = accumulator-backed metrics)
+        obs = Observation("corpus_stats")
+        meta_df.withColumn("gen", F.lit(0)).observe(
+            obs,
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("doc_id").alias("max_doc_id"),
+        ).write.mode("overwrite").parquet(str(dm_dir))
+        stats_row = obs.get
+        # term_dict hash-clustered + sorted by term: the query path's
+        # driver-side lookup prunes parquet row-groups on term min/max
+        # stats (the RdbMap seek applied to the dictionary)
+        term_stats(posts).repartition(8, "term").sortWithinPartitions(
             "term"
         ).write.mode("overwrite").parquet(str(td_dir))
-        # stats pass: ONE tiny agg row to the driver
-        stats_row = (
-            spark.read.parquet(str(dm_dir))
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("n_docs"),
-                F.avg("doc_len").alias("avgdl"),
-                F.max("doc_id").alias("max_doc_id"),
-            )
-            .collect()[0]
-        )
         meta = {
             "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
             "n_docs": float(stats_row["n_docs"]),
@@ -273,19 +309,12 @@ def build_index(
     scored = scored_postings_df(
         posts, None, tdict, meta["n_docs"], meta["avgdl"], cfg
     )
+    # _encode_and_write writes a manifest row for EVERY bucket it was
+    # responsible for (empty ones included) — generation 0 is complete
+    # when it returns
     _encode_and_write(
         scored, index_dir, 0, todo, cfg, input_snapshot, meta["max_doc_id"]
     )
-
-    # every bucket (incl. legitimately empty ones) must reach the
-    # manifest so a resumed build knows the generation is complete
-    have = done_buckets(spark, index_dir, 0)
-    missing_empty = sorted(set(range(cfg.n_buckets)) - have)
-    if missing_empty:
-        spark.createDataFrame(
-            [(b, 0, 0, 0, "", input_snapshot) for b in missing_empty],
-            MANIFEST_SCHEMA,
-        ).write.mode("append").parquet(str(index_dir / "manifest" / "generation=0"))
     # build committed — drop the staging checkpoint
     shutil.rmtree(staging, ignore_errors=True)
     return meta

@@ -43,6 +43,30 @@ from open_source_search_engine_spark.operators.stats import term_stats
 TOMBSTONE_SCHEMA = "doc_id long, before_generation int"
 
 
+def _write_tombstones(index_dir: Path, doc_ids, gen: int) -> None:
+    """Driver-side pyarrow write — tombstones are metadata-scale (the
+    reference's negative keys are single records, Rdb::addRecord); a
+    distributed write of a handful of ids costs ~5 s of job overhead."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = index_dir / "tombstones"
+    tdir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([int(d) for d in doc_ids], pa.int64()),
+                "before_generation": pa.array(
+                    [gen] * len(doc_ids), pa.int32()
+                ),
+            }
+        ),
+        tdir / f"tombstones-{uuid.uuid4().hex}.parquet",
+    )
+
+
 def _cfg_from_meta(meta: dict) -> EngineConfig:
     c = dict(meta["config"])
     c["stopwords"] = frozenset(c.get("stopwords", ()))
@@ -63,9 +87,7 @@ def delete_documents(
     strictly below the next generation number."""
     index_dir = Path(index_dir)
     gen = max(current_generations(index_dir), default=0) + 1
-    spark.createDataFrame(
-        [(int(d), gen) for d in doc_ids], TOMBSTONE_SCHEMA
-    ).write.mode("append").parquet(str(index_dir / "tombstones"))
+    _write_tombstones(index_dir, doc_ids, gen)
 
 
 def add_documents(
@@ -85,9 +107,7 @@ def add_documents(
 
     if replace:
         ids = [r["doc_id"] for r in docs.select(F.col("doc_id")).collect()]
-        spark.createDataFrame(
-            [(int(d), gen) for d in ids], TOMBSTONE_SCHEMA
-        ).write.mode("append").parquet(str(index_dir / "tombstones"))
+        _write_tombstones(index_dir, ids, gen)
 
     posts = fast_postings(docs, text_col, "doc_id", mode=tok_mode).persist()
     lens = posts.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))

@@ -49,12 +49,23 @@ KERNEL_SCHEMA = "doc_id long, score double, n_terms int"
 def query_term_rows(
     spark: SparkSession, index_dir: str | Path, terms: list[str]
 ) -> list[dict]:
-    """(term, term_id, df) for the query's terms — tiny pushdown scan."""
-    td = spark.read.parquet(str(Path(index_dir) / "term_dict"))
-    return [
-        r.asDict()
-        for r in td.filter(F.col("term").isin(list(set(terms)))).collect()
-    ]
+    """(term, term_id, df) for the query's terms.
+
+    Driver-side pyarrow read — no Spark job. The dictionary lookup is
+    metadata-scale work (the reference keeps termId→listSize in the
+    in-memory RdbMap, Posdb::getTermFreq); launching a distributed job
+    for it costs more than the read. term_dict files are term-sorted,
+    so the isin filter prunes on parquet row-group min/max stats.
+    pyarrow.dataset reads local paths here and s3/hdfs URIs on a real
+    deployment alike."""
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(str(Path(index_dir) / "term_dict"), format="parquet")
+    tbl = d.to_table(
+        filter=ds.field("term").isin(list(set(terms))),
+        columns=["term", "term_id", "df"],
+    )
+    return tbl.to_pylist()
 
 
 def _load_tombstones(
@@ -63,7 +74,9 @@ def _load_tombstones(
     tdir = Path(index_dir) / "tombstones"
     if not tdir.exists():
         return None
-    pdf = spark.read.parquet(str(tdir)).toPandas()
+    import pyarrow.dataset as ds
+
+    pdf = ds.dataset(str(tdir), format="parquet").to_table().to_pandas()
     if len(pdf) == 0:
         return None
     # one row per doc: the max before_generation wins
