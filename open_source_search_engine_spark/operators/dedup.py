@@ -85,8 +85,13 @@ def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, n: int = 3, max_shingle_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
-    (doc_id_a, doc_id_b, jaccard)."""
-    sh = _shingles(docs, n)
+    (doc_id_a, doc_id_b, jaccard).
+
+    The shingle table feeds the size agg AND both sides of the
+    intersection self-join — persist it once instead of re-shingling
+    per consumer (spills to disk under memory pressure; at 100 TB
+    materialize it to a staging table instead)."""
+    sh = _shingles(docs, n).persist()
     if max_shingle_df:
         hot = (
             sh.groupBy("shingle")
@@ -136,14 +141,16 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
 ORDER BY doc_id_a, doc_id_b"""
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, m0..m{n-1}) — portable string-min MinHash signature."""
-    sh = _shingles(docs)
-    aggs = [
+def _minhash_aggs(n_hashes: int):
+    return [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary"))).alias(f"m{s}")
         for s in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, m0..m{n-1}) — portable string-min MinHash signature."""
+    return _shingles(docs).groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
 
 
 def minhash_lsh_pairs(
@@ -156,7 +163,12 @@ def minhash_lsh_pairs(
     verify. Only same-bucket docs are ever paired: the join cost is
     O(bucket²) not O(corpus²) — this is the 100 TB dedup path."""
     rows = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n_hashes)
+    # ONE shingle pass feeds the signature agg, the size agg and both
+    # sides of the verify join; sigs likewise feeds both sides of the
+    # band self-join — persist both (tiny vs the shingle stream; at
+    # 100 TB these become staging tables)
+    sh = _shingles(docs).persist()
+    sigs = sh.groupBy("doc_id").agg(*_minhash_aggs(n_hashes)).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -185,7 +197,6 @@ def minhash_lsh_pairs(
     )
     # exact verify on the candidates only: shared-shingle join
     # restricted (left-semi) to candidate pairs — shuffle-friendly
-    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -255,6 +266,10 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — tf-weighted SimHash as a {bits}-char
     '0'/'1' string (bit j = high bit of md5 nibble j, portable across
     engines)."""
+    return _simhash_sigs(docs, bits).orderBy("doc_id")
+
+
+def _simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -280,7 +295,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     sigs = tf.groupBy("doc_id").agg(*bit_aggs)
     return sigs.select(
         "doc_id", F.concat(*[F.col(f"b{j}") for j in range(bits)]).alias("simhash")
-    ).orderBy("doc_id")
+    )
 
 
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
@@ -308,7 +323,10 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_
     """Near-dup pairs by SimHash: banded candidate join (4 bands of
     bits/4 — two sigs within hamming≤3 must agree on ≥1 band), then
     exact hamming verify. (doc_id_a, doc_id_b, hamming)."""
-    sigs = simhash(docs, bits)
+    # unsorted sigs, persisted: the 32-agg signature pipeline feeds
+    # BOTH sides of the band self-join — without the persist the whole
+    # tf+agg computes twice per query
+    sigs = _simhash_sigs(docs, bits).persist()
     # pack the bit-string into two 32-bit words once per doc: the pair
     # verify then costs 2×(xor + bit_count) instead of `bits` substring
     # compares — keeps the whole candidate verify in codegen'd long ops
