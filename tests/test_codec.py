@@ -77,3 +77,62 @@ else:  # pragma: no cover
 
     def test_hypothesis_present():
         pytest.skip("hypothesis not installed")
+
+
+def test_encode_kernel_matches_encode_group():
+    """The whole-partition mapInPandas kernel must produce the same
+    block rows (byte-identical blobs) as per-(bucket,salt)-group
+    encoding — the invariant that lets the builder swap
+    groupBy().applyInPandas for a partition-level kernel."""
+    import pandas as pd
+
+    from open_source_search_engine_spark.index.segments import (
+        encode_group,
+        make_encode_kernel,
+        salt_width,
+    )
+
+    rng = np.random.default_rng(7)
+    n_buckets, n_salts, bs, max_doc_id = 4, 3, 8, 999
+    n = 5000
+    term_ids = rng.integers(0, 40, n).astype(np.int64)
+    doc_ids = rng.integers(0, max_doc_id + 1, n).astype(np.int64)
+    pdf = (
+        pd.DataFrame(
+            {
+                "term_id": term_ids,
+                "doc_id": doc_ids,
+                "tf": rng.integers(1, 9, n).astype(np.int64),
+                "score": rng.random(n),
+            }
+        )
+        .drop_duplicates(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    width = salt_width(max_doc_id, n_salts)
+    pdf["bucket"] = pdf["term_id"] % n_buckets
+    pdf["salt"] = np.minimum(pdf["doc_id"] // width, n_salts - 1)
+
+    kernel = make_encode_kernel(bs, n_buckets, max_doc_id, n_salts)
+    # feed the kernel the whole frame split into arbitrary batches
+    out_kernel = pd.concat(
+        list(kernel(iter([pdf.iloc[:1234].drop(columns=["bucket", "salt"]),
+                          pdf.iloc[1234:].drop(columns=["bucket", "salt"])])))
+    )
+    out_groups = pd.concat(
+        [encode_group(g, bs) for _, g in pdf.groupby(["bucket", "salt"])]
+    )
+    key = ["bucket", "salt", "term_id", "block_id"]
+    a = out_kernel.sort_values(key).reset_index(drop=True)
+    b = out_groups.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in ["bucket", "salt", "term_id", "block_id", "doc_id_min",
+                "doc_id_max", "n_docs"]:
+        assert np.array_equal(
+            a[col].to_numpy(np.int64), b[col].to_numpy(np.int64)
+        ), col
+    assert np.allclose(a["block_max_score"], b["block_max_score"])
+    for col in ["docs_blob", "tfs_blob", "scores_blob"]:
+        assert all(
+            bytes(x) == bytes(y) for x, y in zip(a[col], b[col])
+        ), col
