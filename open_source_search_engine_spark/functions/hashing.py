@@ -20,14 +20,7 @@ def term_id_col(term: Column, field: str | None = None) -> Column:
         term = F.concat(F.lit(field + ":"), term)
     # & mask keeps ids non-negative and matches the reference's 48-bit
     # key budget; collisions at 2^48 are ~0 for any real vocabulary.
+    # Driver-side query planning never re-hashes: it resolves term →
+    # term_id through the persisted term_dict (index/wand.py
+    # query_term_rows), so there is exactly one hash implementation.
     return F.xxhash64(term).bitwiseAND(F.lit(TERM_ID_MASK))
-
-
-def term_id_py(term: str, field: str | None = None) -> int:
-    """Driver-side term id for query planning (must equal term_id_col).
-
-    Implemented by asking the JVM once per query term via a literal
-    expression — avoids re-implementing xxhash64 in Python and going
-    out of sync.
-    """
-    raise NotImplementedError("use plans.query.term_ids_for (needs a SparkSession)")

@@ -71,7 +71,22 @@ def _salt_col(doc_id: F.Column, max_doc_id: int, n_salts: int) -> F.Column:
 
 
 def load_meta(index_dir: str | Path) -> dict:
+    _recover_term_dict(Path(index_dir))
     return json.loads((Path(index_dir) / "meta.json").read_text())
+
+
+def _recover_term_dict(index_dir: Path) -> None:
+    """Crash recovery for the term_dict swap (merge.add_documents):
+    if a crash landed between the two renames, term_dict is missing
+    but term_dict_next (complete — written before any rename) exists;
+    promote it. A leftover term_dict_old is always stale — drop it."""
+    td = index_dir / "term_dict"
+    nxt = index_dir / "term_dict_next"
+    old = index_dir / "term_dict_old"
+    if not td.exists() and nxt.exists():
+        nxt.rename(td)
+    if td.exists() and old.exists():
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _write_meta(index_dir: Path, meta: dict) -> None:
@@ -257,9 +272,9 @@ def build_index(
     dm_dir = index_dir / "doc_meta"
     td_dir = index_dir / "term_dict"
     if not (resume and (staging / "_SUCCESS").exists()):
-        staged_postings(docs, text_col, id_col, mode=tokenizer_mode).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+        staged_postings(
+            docs, text_col, id_col, mode=tokenizer_mode, stopwords=cfg.stopwords
+        ).write.mode("overwrite").parquet(str(staging))
     # NOTE: on failure anywhere below, the staging dir is left in
     # place — a resumed build reuses it and skips the tokenize pass
     # entirely (checkpoint semantics); it is deleted on commit only.

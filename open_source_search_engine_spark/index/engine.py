@@ -24,22 +24,26 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, index_dir: str | Path):
         self.spark = spark
         self.index_dir = Path(index_dir)
-        self.meta = load_meta(index_dir)
+        self._load()
+
+    def _load(self) -> None:
+        self.meta = load_meta(self.index_dir)
         self.n_buckets = self.meta["config"]["n_buckets"]
         # vocabulary-sized; hot for every query → persist once
         self.term_dict = (
-            spark.read.parquet(str(self.index_dir / "term_dict"))
+            self.spark.read.parquet(str(self.index_dir / "term_dict"))
             .select("term", "term_id", "df")
             .persist()
         )
         self.term_dict.count()
-        self.segments = spark.read.parquet(str(self.index_dir / "segments"))
-        self.tombstones = W._load_tombstones(spark, self.index_dir)
+        self.segments = self.spark.read.parquet(str(self.index_dir / "segments"))
+        self.tombstones = W._load_tombstones(self.spark, self.index_dir)
 
     def refresh(self) -> None:
         """Pick up new generations/tombstones (after add/delete)."""
         self.term_dict.unpersist()
-        self.__init__(self.spark, self.index_dir)
+        self.segments = None
+        self._load()
 
     def topk(
         self, terms: list[str], k: int = 10, mode: str = "and",

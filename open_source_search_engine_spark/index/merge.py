@@ -106,10 +106,22 @@ def add_documents(
     text_col, tok_mode = meta["text_col"], meta["tokenizer_mode"]
 
     if replace:
-        ids = [r["doc_id"] for r in docs.select(F.col("doc_id")).collect()]
-        _write_tombstones(index_dir, ids, gen)
+        # distributed tombstone append — never collect incoming ids to
+        # the driver (a large re-ingest would OOM it; the reference's
+        # negative keys flow through the same Msg4 fan-out as adds).
+        # Spark's _SUCCESS/_committed files start with '_' and are
+        # ignored by both spark.read and pyarrow.dataset discovery, so
+        # they coexist with the driver-written tombstone files.
+        # NOTE df drift (documented): replaced docs' term_dict df is
+        # not decremented here, so scores drift upward until compact();
+        # under a long replace=True loop run compact() periodically.
+        docs.select(
+            F.col("doc_id"), F.lit(gen).cast("int").alias("before_generation")
+        ).write.mode("append").parquet(str(index_dir / "tombstones"))
 
-    posts = fast_postings(docs, text_col, "doc_id", mode=tok_mode).persist()
+    posts = fast_postings(
+        docs, text_col, "doc_id", mode=tok_mode, stopwords=cfg.stopwords
+    ).persist()
     lens = posts.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
     new_meta_df = (
         docs.select(
@@ -141,10 +153,18 @@ def add_documents(
         .groupBy("term", "term_id")
         .agg(F.sum("df").alias("df"))
     )
+    # crash-safe swap: old dict is renamed aside (cheap) before the new
+    # one takes its place, so no instant exists with NO term_dict on
+    # disk; builder.load_meta recovers from term_dict_next if a crash
+    # lands between the renames.
     tmp_dict = index_dir / "term_dict_next"
+    old_dict_dir = index_dir / "term_dict_old"
     merged_dict.write.mode("overwrite").parquet(str(tmp_dict))
-    shutil.rmtree(index_dir / "term_dict")
+    if old_dict_dir.exists():
+        shutil.rmtree(old_dict_dir)
+    (index_dir / "term_dict").rename(old_dict_dir)
     tmp_dict.rename(index_dir / "term_dict")
+    shutil.rmtree(old_dict_dir)
 
     meta.update(
         n_docs=float(row["n_docs"]),
@@ -224,16 +244,28 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
         .agg(F.max_by("tf", "generation").cast("int").alias("tf"))
     )
 
-    # live doc_meta (same tombstone rule; doc_meta rows carry no
-    # generation, so rebuild doc stats from the surviving postings'
-    # doc ids joined back to the newest doc_meta row per doc)
+    # live doc_meta: liveness comes from doc_meta MINUS tombstones,
+    # NOT from surviving posting doc_ids — a live doc with zero
+    # postings (empty/whitespace-only content) must keep its
+    # sha256/meta row and count toward n_docs/avgdl, or compact would
+    # silently diverge from a from-scratch build over the live set.
     dm = spark.read.parquet(str(index_dir / "doc_meta"))
     dm = dm.groupBy("doc_id").agg(
         F.max_by("doc_len", "gen").alias("doc_len"),
         F.max_by("content_sha256", "gen").alias("content_sha256"),
+        F.max("gen").alias("gen"),
     )
-    live_ids = posts.select("doc_id").distinct()
-    dm_live = dm.join(live_ids, "doc_id", "left_semi")
+    if tdir.exists():
+        ts_docs = (
+            spark.read.parquet(str(tdir))
+            .groupBy("doc_id")
+            .agg(F.max("before_generation").alias("before_generation"))
+        )
+        dm = dm.join(F.broadcast(ts_docs), "doc_id", "left").filter(
+            F.col("before_generation").isNull()
+            | (F.col("gen") >= F.col("before_generation"))
+        )
+    dm_live = dm.select("doc_id", "doc_len", "content_sha256")
 
     row = dm_live.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -73,10 +73,9 @@ def scored_postings(
     ).drop("n_docs", "avgdl", "df", "doc_len")
 
 
-def bm25_topk_oracle(
+def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
-    k: int = 10,
     mode: str = "and",
     candidate_filter: Column | None = None,
     cfg: EngineConfig = EngineConfig(),
@@ -86,14 +85,12 @@ def bm25_topk_oracle(
     require_docs: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a bag of query terms, end to end from
-    the raw docs table. `mode='and'` requires all terms present
-    (Gigablast default AND, Query.cpp set2); `'or'` is the union.
-    `require_docs` / `exclude_docs` are (doc_id) sets semi-/anti-joined
-    onto the candidates (phrase constraints F5, negative terms F1).
-    Output: (doc_id, score) with score rounded to 5 dp for stable
-    cross-engine comparison; ordering uses the unrounded float64.
-    """
+    """FULL scored match set (doc_id, _score float64, unrounded,
+    unordered, no k cut) — the partial result every result-shaping
+    operator (top-k, site-cap window, pagination) consumes. Kept
+    un-limited so consumers never funnel the match set through a
+    single-point TakeOrderedAndProject; each applies its own window /
+    limit (the Msg3a partial/final shape, SURVEY.md §2.6)."""
     terms = sorted(set(query_terms))
     tokens = doc_tokens(docs, text_col, id_col, mode=tokenizer_mode)
     posts = postings(tokens, with_positions=False)
@@ -131,6 +128,34 @@ def bm25_topk_oracle(
     )
     if mode == "and":
         agg = agg.filter(F.col("_nterms") == len(terms))
+    return agg.select("doc_id", "_score")
+
+
+def bm25_topk_oracle(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    candidate_filter: Column | None = None,
+    cfg: EngineConfig = EngineConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer_mode: str = "simple",
+    require_docs: DataFrame | None = None,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a bag of query terms, end to end from
+    the raw docs table. `mode='and'` requires all terms present
+    (Gigablast default AND, Query.cpp set2); `'or'` is the union.
+    `require_docs` / `exclude_docs` are (doc_id) sets semi-/anti-joined
+    onto the candidates (phrase constraints F5, negative terms F1).
+    Output: (doc_id, score) with score rounded to 5 dp for stable
+    cross-engine comparison; ordering uses the unrounded float64.
+    """
+    agg = bm25_scores(
+        docs, query_terms, mode, candidate_filter, cfg, text_col, id_col,
+        tokenizer_mode, require_docs, exclude_docs,
+    )
     return (
         agg.orderBy(F.desc("_score"), F.asc("doc_id"))
         .limit(k)

@@ -12,9 +12,11 @@ time (Msg40 dedup, SURVEY.md §2.2 F7) and clusters by site
 
 Portability trick for the DuckDB oracles: MinHash uses the
 LEXICOGRAPHIC MIN OF md5 HEX STRINGS as the hash-family member
-(seeded by prefixing `{seed}:`), and SimHash uses the high bit of each
-md5 nibble — md5 is identical in Spark and DuckDB, so both engines
-compute byte-identical signatures with zero custom UDFs.
+(seeded by prefixing `{seed}:`), and SimHash bit j is bit (j % 4) of
+md5 hex nibble (j // 4) — the full 4 bits of each of the first 16
+nibbles give a 64-bit signature; md5 is identical in Spark and
+DuckDB, so both engines compute byte-identical signatures with zero
+custom UDFs.
 
 Skew note (100 TB): the shingle self-join key is the shingle itself;
 Zipf-head shingles (boilerplate) explode the join. `max_shingle_df`
@@ -29,8 +31,19 @@ from pyspark.sql import functions as F
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
-SIMHASH_BITS = 32
-_HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+# 64-bit simhash, 4 bands × 16 bits (VERDICT r01: 8-bit band keys give
+# only 256 buckets → quadratic band self-joins at scale; 16-bit keys
+# give 65 536). 4 bands still guarantee hamming ≤ 3 ⇒ ≥1 identical
+# band (pigeonhole: 3 differing bits can touch at most 3 of 4 bands).
+SIMHASH_BITS = 64
+# hex chars with bit r (MSB-first within the nibble) set: bit value
+# 8 >> r — used to expand md5 hex into bits portably in both engines
+_NIBBLE_BIT = {
+    0: ("8", "9", "a", "b", "c", "d", "e", "f"),
+    1: ("4", "5", "6", "7", "c", "d", "e", "f"),
+    2: ("2", "3", "6", "7", "a", "b", "e", "f"),
+    3: ("1", "3", "5", "7", "9", "b", "d", "f"),
+}
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -124,12 +137,21 @@ def ngram_jaccard_pairs(
     ).orderBy("doc_id_a", "doc_id_b")
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
-    return f"""{_SHINGLES_SQL}, sz AS (
-  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_df: int | None = None) -> str:
+    shf = "sh"
+    guard = ""
+    if max_shingle_df:
+        guard = f""", hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_shingle_df}
+), shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN hot USING (shingle)
+)"""
+        shf = "shf"
+    return f"""{_SHINGLES_SQL}{guard}, sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM {shf} GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {shf} a JOIN {shf} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_id_a, doc_id_b,
@@ -195,14 +217,29 @@ def minhash_lsh_pairs(
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    # exact verify on the candidates only: shared-shingle join
-    # restricted (left-semi) to candidate pairs — shuffle-friendly
+    # exact verify on the candidates only. Order matters at scale:
+    # semi-join EACH SIDE down to candidate doc_ids BEFORE the shingle
+    # self-join (Catalyst won't push the pair-level semi-join below it,
+    # so without this the verify re-creates the all-pairs-shared-shingle
+    # blowup LSH exists to avoid); the pair-level semi-join after
+    # restricts (candidate_doc × candidate_doc) to actual candidate
+    # pairs. cands is ~O(dups) — broadcastable at any scale where LSH
+    # is doing its job.
+    cands = cands.persist()
+    cand_a = cands.select(F.col("doc_id_a").alias("doc_id")).distinct()
+    cand_b = cands.select(F.col("doc_id_b").alias("doc_id")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    sh_a = (
+        sh.join(F.broadcast(cand_a), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    )
+    sh_b = (
+        sh.join(F.broadcast(cand_b), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    )
     inter = (
         sh_a.join(sh_b, "shingle")
-        .join(cands, ["doc_id_a", "doc_id_b"], "left_semi")
+        .join(F.broadcast(cands), ["doc_id_a", "doc_id_b"], "left_semi")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -282,7 +319,8 @@ def _simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         F.when(
             F.sum(
                 F.when(
-                    F.substring("h", j + 1, 1).isin(list(_HI_NIBBLE)), F.col("tf")
+                    F.substring("h", j // 4 + 1, 1).isin(list(_NIBBLE_BIT[j % 4])),
+                    F.col("tf"),
                 ).otherwise(-F.col("tf"))
             )
             > 0,
@@ -298,13 +336,19 @@ def _simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def _bit_exprs_sql(bits: int) -> str:
+    def one(j: int) -> str:
+        chars = ", ".join(f"'{c}'" for c in _NIBBLE_BIT[j % 4])
+        return (
+            f"CASE WHEN SUM(CASE WHEN substr(h, {j // 4 + 1}, 1) IN ({chars}) "
+            f"THEN tf ELSE -tf END) > 0 THEN '1' ELSE '0' END AS b{j}"
+        )
+
+    return ",\n       ".join(one(j) for j in range(bits))
+
+
 def simhash_sql(bits: int = SIMHASH_BITS) -> str:
-    hi = ", ".join(f"'{c}'" for c in _HI_NIBBLE)
-    bit_exprs = ",\n       ".join(
-        f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN tf ELSE -tf END) > 0 "
-        f"THEN '1' ELSE '0' END AS b{j}"
-        for j in range(bits)
-    )
+    bit_exprs = _bit_exprs_sql(bits)
     concat = " || ".join(f"b{j}" for j in range(bits))
     return f"""WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
@@ -386,12 +430,7 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_
 
 
 def simhash_near_dup_sql(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
-    hi = ", ".join(f"'{c}'" for c in _HI_NIBBLE)
-    bit_exprs = ",\n       ".join(
-        f"CASE WHEN SUM(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN tf ELSE -tf END) > 0 "
-        f"THEN '1' ELSE '0' END AS b{j}"
-        for j in range(bits)
-    )
+    bit_exprs = _bit_exprs_sql(bits)
     concat = " || ".join(f"b{j}" for j in range(bits))
     band_w = bits // 4
     band_rows = "\n  UNION ALL\n".join(
@@ -431,7 +470,12 @@ ORDER BY c.doc_id_a, c.doc_id_b"""
 def driver_queries():
     return {
         "dedup_exact": lambda s, d: dedup_exact(_docs(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(_docs(s, d), threshold=0.5),
+        # stop-shingle guard ON by default (Zipf-head boilerplate
+        # shingles are the scale-killer; 50 docs ≈ 10% of the sf0.01
+        # corpus — the O(corpus/10) setting the docstring prescribes)
+        "dedup_ngram_jaccard": lambda s, d: ngram_jaccard_pairs(
+            _docs(s, d), threshold=0.5, max_shingle_df=50
+        ),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d), threshold=0.5),
         "simhash_signatures": lambda s, d: simhash(_docs(s, d)),
         "simhash_near_dup": lambda s, d: simhash_near_dup(_docs(s, d), max_hamming=3),
@@ -441,7 +485,7 @@ def driver_queries():
 def driver_oracles():
     return {
         "dedup_exact": dedup_exact_sql(),
-        "dedup_ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "dedup_ngram_jaccard": ngram_jaccard_sql(threshold=0.5, max_shingle_df=50),
         "dedup_minhash_lsh": minhash_lsh_sql(threshold=0.5),
         "simhash_signatures": simhash_sql(),
         "simhash_near_dup": simhash_near_dup_sql(max_hamming=3),

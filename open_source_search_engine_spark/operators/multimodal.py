@@ -118,9 +118,19 @@ def driver_queries():
         "multimodal_blob_meta": lambda s, d: blob_meta(_media(s, d)),
         "multimodal_frame_sample": lambda s, d: frame_sample(_media(s, d), every=2)
         .withColumn("frame", F.decode(F.col("frame"), "utf-8")),
-        "multimodal_features": lambda s, d: extract_features(_media(s, d)).orderBy(
-            "media_id"
-        ),
+        # exploded (media_id, dim_idx, value): driver-hashable (the
+        # raw array<float> column broke the driver's canonical sort),
+        # and — because the fixture text is pure ASCII — expressible in
+        # DuckDB too (byte i == ord(char i)), giving the feature stub a
+        # real value oracle instead of a rows-only check
+        "multimodal_features": lambda s, d: extract_features(_media(s, d))
+        .select("media_id", F.posexplode("features").alias("dim_idx", "value"))
+        .select(
+            "media_id",
+            "dim_idx",
+            F.round(F.col("value").cast("double"), 5).alias("value"),
+        )
+        .orderBy("media_id", "dim_idx"),
     }
 
 
@@ -142,6 +152,18 @@ SELECT media_id, frame_idx,
        substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
 FROM f WHERE frame_idx % 2 = 0
 ORDER BY media_id, frame_idx""",
-        # multimodal_features: no SQL oracle (mapInPandas feature stub)
-        # → driver records the weaker rows-only check by design
+        # fake-decoder oracle: blob byte i of the utf-8-encoded text ==
+        # ord(char i) because the fixture is pure ASCII (verified:
+        # text == encode(text) for every row); float32/255 rounds to
+        # the same 5 dp as float64/255 for all 256 byte values
+        "multimodal_features": """
+WITH f AS (
+  SELECT doc_id AS media_id, unnest(range(0, 8))::INT AS dim_idx, text
+  FROM documents
+)
+SELECT media_id, dim_idx,
+       ROUND(CASE WHEN dim_idx < strlen(text)
+                  THEN ord(substr(text, dim_idx + 1, 1)) / 255.0
+                  ELSE 0.0 END, 5) AS value
+FROM f ORDER BY media_id, dim_idx""",
     }

@@ -22,11 +22,16 @@ def doc_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "simple",
+    stopwords: frozenset | tuple = (),
 ) -> DataFrame:
-    """(doc_id, pos, term) — one row per token occurrence."""
+    """(doc_id, pos, term) — one row per token occurrence. ``pos`` is
+    the position AFTER stopword removal (the reference also assigns
+    posdb positions over the kept word stream)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(F.col(text_col), mode=mode)).alias("pos", "term"),
+        F.posexplode(
+            tokens_col(F.col(text_col), mode=mode, stopwords=stopwords)
+        ).alias("pos", "term"),
     )
 
 
@@ -54,6 +59,7 @@ def staged_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "simple",
+    stopwords: frozenset | tuple = (),
 ) -> DataFrame:
     """Union-layout build intermediate: ONE tokenizer pass emits both
     posting rows and per-doc meta rows in a single schema
@@ -75,7 +81,10 @@ def staged_postings(
 
     from open_source_search_engine_spark.functions.tokenizer import (
         _code_tokenize_series,
+        _drop_stopwords,
     )
+
+    stop = tuple(sorted(stopwords))
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,9 +92,11 @@ def staged_postings(
                 continue
             text = pdf["__text"].fillna("")
             if mode == "code":
-                toks = _code_tokenize_series(text, lowercase=True)
+                toks = _code_tokenize_series(text, lowercase=True, stopwords=stop)
             elif mode == "simple":
                 toks = text.str.lower().str.split()
+                if stop:
+                    toks = _drop_stopwords(toks, stop)
             else:  # pragma: no cover
                 raise ValueError(f"unknown tokenizer mode: {mode}")
             lens = toks.str.len().to_numpy()
@@ -140,6 +151,7 @@ def fast_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "simple",
+    stopwords: frozenset | tuple = (),
 ) -> DataFrame:
     """(term, doc_id, tf, doc_len, term_id) — posting rows only.
 
@@ -158,7 +170,7 @@ def fast_postings(
     (term, doc_id, tf) (tested).
     """
     return (
-        staged_postings(docs, text_col, id_col, mode)
+        staged_postings(docs, text_col, id_col, mode, stopwords)
         .filter(F.col("tf") > 0)
         .drop("sha")
     )

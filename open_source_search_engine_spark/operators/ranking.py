@@ -11,13 +11,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.config import EngineConfig
-from open_source_search_engine_spark.operators.bm25 import bm25_topk_oracle
+from open_source_search_engine_spark.operators.bm25 import bm25_scores
 from open_source_search_engine_spark.operators.boolean import and_intersect
-
-
-def _scored_all(docs: DataFrame, terms: list[str], cfg: EngineConfig) -> DataFrame:
-    # full scored match set (no k cut) — reuse the oracle with a huge k
-    return bm25_topk_oracle(docs, terms, k=10_000_000, mode="and", cfg=cfg)
 
 
 def topk_sitecap(
@@ -30,16 +25,19 @@ def topk_sitecap(
 ) -> DataFrame:
     """Top-k with at most `cap` results per site (TopTree site
     clustering). Window rank within site, then global top-k — the same
-    partial/final shape Msg3a's merge has."""
-    scored = _scored_all(docs, terms, cfg)
+    partial/final shape Msg3a's merge has. The site-cap window runs
+    directly on the distributed scored set (one shuffle keyed by site);
+    only the ≤cap-per-site survivors reach the final global top-k, so
+    nothing funnels the full match set to one point."""
+    scored = bm25_scores(docs, terms, mode="and", cfg=cfg)
     joined = scored.join(docs.select("doc_id", F.col(site_col).alias("source")), "doc_id")
-    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("source").orderBy(F.desc("_score"), F.asc("doc_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("_score"), F.asc("doc_id"))
         .limit(k)
-        .select("doc_id", "score", "source")
+        .select("doc_id", F.round(F.col("_score"), 5).alias("score"), "source")
     )
 
 
@@ -51,9 +49,16 @@ def paginate(
     cfg: EngineConfig = EngineConfig(),
 ) -> DataFrame:
     """Page (offset, limit) of the ranked result list (W2). Spark 4
-    supports DataFrame.offset natively."""
-    scored = _scored_all(docs, terms, cfg)
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).offset(offset).limit(limit)
+    supports DataFrame.offset natively; orderBy + offset + limit plans
+    as TakeOrdered of (offset+limit) rows per partition — bounded by
+    the page depth, never by the match-set size."""
+    scored = bm25_scores(docs, terms, mode="and", cfg=cfg)
+    return (
+        scored.orderBy(F.desc("_score"), F.asc("doc_id"))
+        .offset(offset)
+        .limit(limit)
+        .select("doc_id", F.round(F.col("_score"), 5).alias("score"))
+    )
 
 
 def sort_by_field(

@@ -173,12 +173,46 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def lang_id_sql() -> str:
+    """DuckDB mirror of ``lang_id`` — the marker vote IS pure SQL, so
+    the heuristic gets a full value oracle (tie-break priority matches
+    the Spark when-chain: en > de > es > fr)."""
+    langs = [(l, ms) for l, ms in _LANG_MARKERS.items() if ms]
+    vote_exprs = ",\n       ".join(
+        "SUM(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS v_{}".format(
+            ", ".join(f"'{m}'" for m in ms), lang
+        )
+        for lang, ms in langs
+    )
+    best = "GREATEST({})".format(", ".join(f"v_{lang}" for lang, _ in langs))
+    tie = "\n            ".join(
+        f"WHEN v_{lang} = {best} THEN '{lang}'" for lang, _ in langs
+    )
+    return f"""{_TOKS_SQL}, votes AS (
+  SELECT doc_id,
+       {vote_exprs}
+  FROM toks_f GROUP BY doc_id
+), ar AS (
+  SELECT doc_id,
+         strlen(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+           / GREATEST(strlen(text), 1) AS ascii_ratio
+  FROM documents
+)
+SELECT v.doc_id,
+       CASE WHEN ar.ascii_ratio < 0.6 THEN 'zh'
+            WHEN {best} = 0 THEN 'unknown'
+            {tie}
+            ELSE 'unknown' END AS lang_pred
+FROM votes v JOIN ar ON v.doc_id = ar.doc_id
+ORDER BY v.doc_id"""
+
+
 def driver_queries():
     return {
         "token_counts": lambda s, d: token_counts(_docs(s, d)),
         "text_quality": lambda s, d: text_quality(_docs(s, d)),
         "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
-        "lang_id_heuristic": lambda s, d: lang_id(_docs(s, d)),  # rows-only check
+        "lang_id_heuristic": lambda s, d: lang_id(_docs(s, d)),
     }
 
 
@@ -187,7 +221,7 @@ def driver_oracles():
         "token_counts": token_counts_sql(),
         "text_quality": text_quality_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
-        # lang_id_heuristic intentionally omitted: heuristic, non-SQL-pinned
+        "lang_id_heuristic": lang_id_sql(),
     }
 
 

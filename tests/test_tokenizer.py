@@ -47,3 +47,34 @@ def test_code_tokenizer_is_vectorized_nullsafe():
     s = pd.Series([None, "aB"])
     out = _code_tokenize_series(s, lowercase=True)
     assert list(out) == [[], ["a", "b"]]
+
+
+def test_stopwords_simple_mode(spark):
+    df = spark.createDataFrame([("the quick the fox",), ("the the",)], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            tokens_col(F.col("text"), mode="simple", stopwords=frozenset({"the"}))
+        ).collect()
+    ]
+    assert got == [["quick", "fox"], []]
+
+
+def test_stopwords_code_mode():
+    out = _code_tokenize_series(
+        pd.Series(["theValue = the + x", "nothing"]),
+        lowercase=True,
+        stopwords=("the",),
+    )
+    # camel split happens BEFORE stopword removal: theValue → the value
+    assert list(out) == [["value", "x"], ["nothing"]]
+
+
+def test_unicode_lowercase_pin():
+    """Pinned contract (ADVICE r01): lowercasing precedes findall, so
+    non-ASCII chars whose lowercase folds into ASCII yield tokens
+    ('İ'.lower() == 'i' + combining dot → 'i'; KELVIN SIGN → 'k').
+    Stray Unicode in identifiers folds to its ASCII skeleton rather
+    than being dropped."""
+    out = _code_tokenize_series(pd.Series(["K", "İstanbul"]), lowercase=True)
+    assert list(out) == [["k"], ["i", "stanbul"]]
