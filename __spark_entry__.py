@@ -35,9 +35,10 @@ _IDX_CACHE: dict[str, Path] = {}
 
 def _segment_index(spark: SparkSession, sf_dir: str) -> Path:
     """Build the M3 segment store for sf_dir once per process; the
-    wand_* queries below then exercise the REAL engine (segments +
-    block-max kernel), checked against the same BM25 oracle SQL as the
-    DataFrame path — the driver enforces rank-identity every round."""
+    wand_* and *_indexed queries below then exercise the REAL engine
+    (segments + positions + doc_meta extras), each checked against the
+    same oracle SQL as the DataFrame-algebra path — the driver
+    enforces rank identity every round."""
     if sf_dir not in _IDX_CACHE:
         import tempfile
 
@@ -51,6 +52,7 @@ def _segment_index(spark: SparkSession, sf_dir: str) -> Path:
             d,
             cfg=EngineConfig(n_buckets=16, n_salts=4, block_size=64),
             text_col="text",
+            extra_meta_cols=["lang", "source", "n_chars"],
         )
         _IDX_CACHE[sf_dir] = d
     return _IDX_CACHE[sf_dir]
@@ -61,6 +63,18 @@ def _wand_q(terms: list[str], mode: str):
         from open_source_search_engine_spark.index import wand as idx_wand
 
         return idx_wand.wand_topk(spark, _segment_index(spark, sf_dir), terms, k=10, mode=mode)
+
+    return run
+
+
+def _idx_q(fn_name: str, **kwargs):
+    """Driver entry for an operators.indexed function, bound to the
+    per-sf segment store."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from open_source_search_engine_spark.operators import indexed
+
+        return getattr(indexed, fn_name)(spark, _segment_index(spark, sf_dir), **kwargs)
 
     return run
 
@@ -108,6 +122,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _wand_q(FLAGSHIP_TERMS, "and"),
         "wand_topk_or": _wand_q(["dup", "merge"], "or"),
         "wand_topk_3term": _wand_q(["dup", "key", "scan"], "or"),
+        # --- index-backed operators (index/lists.py + operators/
+        # indexed.py): the SAME oracles as the corpus-algebra entries
+        # above, but served entirely from the segment store — decoded
+        # lists, persisted positions, doc_meta metadata joins. Nothing
+        # re-tokenizes the corpus at query time. ---
+        "term_lookup_indexed": _idx_q("term_lookup", term="dup"),
+        "and_intersect_indexed": _idx_q("and_intersect", terms=["join", "hash", "scan"]),
+        "or_union_indexed": _idx_q("or_union", terms=["dup", "key"]),
+        "not_exclude_indexed": _idx_q("not_exclude", term="dup", minus="join"),
+        "numeric_range_indexed": _idx_q(
+            "numeric_range", term="dup", col="n_chars", lo=100, hi=300
+        ),
+        "facets_lang_indexed": _idx_q("facet_counts", terms=["dup"], facet_col="lang"),
+        "sortby_field_indexed": _idx_q(
+            "sort_by_field", terms=["dup"], sort_col="n_chars", k=10
+        ),
+        "topk_sitecap_indexed": _idx_q("topk_sitecap", terms=FLAGSHIP_TERMS, k=10, cap=2),
+        "pagination_indexed": _idx_q("paginate", terms=FLAGSHIP_TERMS, offset=10, limit=10),
+        "phrase_bigram_indexed": _idx_q("phrase_bigram", w1="join", w2="hash"),
+        "bm25_topk_indexed": _idx_q("bm25_topk", terms=FLAGSHIP_TERMS, k=10, mode="and"),
         # --- presentation (SURVEY §2.9 P1-P3) + direct lookup (§3.3) ---
         "search_snippets": lambda s, d: _snippets_q(s, d),
         "doc_lookup": lambda s, d: _doc_lookup_q(s, d),
@@ -146,6 +180,20 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "wand_topk_or": osql.bm25_topk_sql(["dup", "merge"], k=10, mode="or"),
         "wand_topk_3term": osql.bm25_topk_sql(["dup", "key", "scan"], k=10, mode="or"),
+        # indexed twins: IDENTICAL oracles to the corpus-algebra
+        # entries — the driver proves the segment store serves every
+        # operator with the same answers
+        "term_lookup_indexed": osql.term_lookup_sql("dup"),
+        "and_intersect_indexed": osql.and_intersect_sql(["join", "hash", "scan"]),
+        "or_union_indexed": osql.or_union_sql(["dup", "key"]),
+        "not_exclude_indexed": osql.not_exclude_sql("dup", "join"),
+        "numeric_range_indexed": osql.numeric_range_sql("dup", 100, 300),
+        "facets_lang_indexed": osql.facets_sql(["dup"], "lang"),
+        "sortby_field_indexed": osql.sortby_sql(["dup"], "n_chars", k=10),
+        "topk_sitecap_indexed": osql.topk_sitecap_sql(FLAGSHIP_TERMS, k=10, cap=2),
+        "pagination_indexed": osql.pagination_sql(FLAGSHIP_TERMS, offset=10, limit=10),
+        "phrase_bigram_indexed": osql.phrase_bigram_sql("join", "hash"),
+        "bm25_topk_indexed": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "search_snippets": osql.snippets_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "doc_lookup": osql.doc_lookup_sql(42),
         "query_language": _qlang_sql(QLANG_Q),
@@ -176,15 +224,20 @@ def _doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qlang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rerouted through the segment store (VERDICT r01 item 1): the
+    # front end compiles onto decoded lists + persisted positions +
+    # doc_meta filters; same DuckDB oracle as before proves identity.
     from open_source_search_engine_spark.plans import query_language
 
-    return query_language.execute(_docs(spark, sf_dir), QLANG_Q, k=10)
+    return query_language.execute_indexed(spark, _segment_index(spark, sf_dir), QLANG_Q, k=10)
 
 
 def _qlang_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_source_search_engine_spark.plans import query_language
 
-    return query_language.execute(_docs(spark, sf_dir), QLANG_PHRASE_Q, k=10)
+    return query_language.execute_indexed(
+        spark, _segment_index(spark, sf_dir), QLANG_PHRASE_Q, k=10
+    )
 
 
 def _qlang_sql(q: str) -> str:

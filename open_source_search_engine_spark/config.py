@@ -35,6 +35,13 @@ class EngineConfig:
     # per block (the WAND skip unit — Posdb.cpp getMaxPossibleScore is
     # the reference precedent, SURVEY §4).
     block_size: int = 128
+    # Persist per-posting occurrence positions (pos_blob) in the
+    # segment store — the positional index (the reference's posdb key
+    # IS positional: one key per occurrence, Posdb.h, SURVEY §1.3).
+    # Required for index-backed phrase/proximity; costs ~1-2 bytes per
+    # occurrence in the shuffle and on disk. Top-k scoring never reads
+    # the column (parquet column pruning skips it).
+    store_positions: bool = True
 
     # --- tokenizer ---
     lowercase: bool = True

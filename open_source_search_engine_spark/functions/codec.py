@@ -84,6 +84,64 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def varint_value_sizes(buf: bytes) -> np.ndarray:
+    """Byte length of each encoded value in a LEB128 stream (scan of
+    continuation bits — lets callers slice a concatenated stream at
+    value boundaries without decoding)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    return np.diff(np.concatenate(([-1], ends))).astype(np.int64)
+
+
+def positions_encode(flat_pos: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode per-posting position lists, laid out flat in posting
+    order (posting i owns flat_pos[cum_tf[i-1]:cum_tf[i]], ascending).
+    Each posting's stream is SELF-CONTAINED: first value absolute,
+    then deltas — so per-posting byte slices can be concatenated /
+    re-split freely (block packing, compaction) without re-encoding.
+    Returns (stream bytes, per-posting byte offsets, len == n+1)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    if flat_pos.size == 0:
+        return b"", np.zeros(tfs.size + 1, dtype=np.int64)
+    p = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    d = np.empty(p.size, dtype=np.uint64)
+    d[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=d[1:], casting="unsafe")
+    d[starts] = p[starts].astype(np.uint64)
+    buf, sizes = varint_encode_with_sizes(d)
+    per_post = np.add.reduceat(sizes, starts)
+    return buf, np.concatenate(([0], np.cumsum(per_post)))
+
+
+def positions_decode(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a concatenation of self-contained per-posting position
+    streams back to the flat int64 layout (posting boundaries are
+    cumsum(tfs) — the caller slices)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    deltas = varint_decode(buf).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    cs = np.cumsum(deltas)
+    base = cs[starts] - deltas[starts]
+    return cs - np.repeat(base, tfs)
+
+
+def positions_byte_offsets(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Per-posting byte offsets (len n+1) into a concatenated
+    positions stream, from the continuation-bit scan alone."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    sizes = varint_value_sizes(buf)
+    if sizes.size == 0:
+        return np.zeros(tfs.size + 1, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    per_post = np.add.reduceat(sizes, starts)
+    return np.concatenate(([0], np.cumsum(per_post)))
+
+
 def f64_encode(values: np.ndarray) -> bytes:
     return np.ascontiguousarray(values, dtype=np.float64).tobytes()
 

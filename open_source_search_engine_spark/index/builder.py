@@ -144,7 +144,10 @@ def _encode_and_write(
     and encodes its whole partition in one pass (segments.py
     make_encode_kernel)."""
     spark = scored.sparkSession
-    sel = scored.select("term_id", "doc_id", "tf", "score")
+    cols = ["term_id", "doc_id", "tf", "score"]
+    if cfg.store_positions and "pos_blob" in scored.columns:
+        cols.append("pos_blob")
+    sel = scored.select(*cols)
     bucket_expr = F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
     if buckets is not None:
         sel = sel.filter(bucket_expr.isin(buckets))

@@ -62,7 +62,7 @@ class QueryEngine:
         buckets = sorted({t % self.n_buckets for t in tids})
         seg = self.segments.filter(
             F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
-        )
+        ).select(*W.KERNEL_INPUT_COLS)
         kernel = W.make_salt_kernel(tids, k, mode, self.tombstones)
         local = seg.groupBy("salt").applyInPandas(kernel, W.KERNEL_SCHEMA)
         if mode == "and":

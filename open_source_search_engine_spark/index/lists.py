@@ -1,0 +1,176 @@
+"""Index-backed list reads — the segment store serving EVERY query
+operator, not just BM25 top-k (VERDICT r01 item 1).
+
+Reference shape: Msg2 fetches the query's term lists once and every
+downstream consumer — intersection, facets, clustering, sorting —
+works off those lists (Msg2.cpp getLists / Msg39 intersect,
+SURVEY.md §3.1). The Spark expression:
+
+    term_dict lookup (driver, pyarrow, metadata-scale)
+        → partition-pruned segment scan (bucket IN …, term_id IN …;
+          parquet row-group stats skip non-matching term_ids)
+        → per-(salt, bucket) decode kernel (numpy, Arrow-batched)
+        → posting rows (term_id, doc_id, tf, score)
+
+and every operator downstream is plain DataFrame algebra over those
+rows. Nothing re-tokenizes the corpus at query time; the scan cost is
+O(query's posting lists), not O(corpus).
+
+Parallelism: the decode groups by (salt, bucket) — all generations of
+one (term, salt) share a bucket (bucket = term_id % n_buckets), so
+LSM generation-merge stays correct while the decode fans out over
+n_salts × touched-buckets tasks. Phrase matching groups by salt only
+(it must see all the phrase's terms for a doc range together — a doc's
+salt is term-independent, so the grouping is complete).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.index.builder import load_meta
+from open_source_search_engine_spark.index.segments import decode_blocks
+from open_source_search_engine_spark.index.wand import (
+    KERNEL_INPUT_COLS,
+    _load_tombstones,
+    query_term_rows,
+)
+
+POSTING_SCHEMA = "term_id long, doc_id long, tf int, score double"
+PHRASE_SCHEMA = "doc_id long"
+
+
+def _pruned_segments(
+    spark: SparkSession,
+    index_dir: str | Path,
+    tids: list[int],
+    n_buckets: int,
+    with_positions: bool = False,
+) -> DataFrame:
+    buckets = sorted({t % n_buckets for t in tids})
+    seg = spark.read.parquet(str(Path(index_dir) / "segments"))
+    seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+    cols = list(KERNEL_INPUT_COLS) + ["bucket"]
+    if with_positions:
+        cols.append("pos_blob")
+    return seg.select(*cols)
+
+
+def term_postings(
+    spark: SparkSession, index_dir: str | Path, terms: list[str]
+) -> DataFrame:
+    """Decoded, generation-merged, tombstone-filtered posting rows
+    (term_id, doc_id, tf, score) for the given terms — the Msg2 list
+    fetch. Terms absent from the dictionary contribute no rows."""
+    meta = load_meta(index_dir)
+    trows = query_term_rows(spark, index_dir, terms)
+    if not trows:
+        return spark.createDataFrame([], POSTING_SCHEMA)
+    tids = sorted({int(r["term_id"]) for r in trows})
+    seg = _pruned_segments(spark, index_dir, tids, meta["config"]["n_buckets"])
+    tombstones = _load_tombstones(spark, index_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tid, rows in pdf.groupby("term_id"):
+            docs, tfs, scores = decode_blocks(rows, tombstones=tombstones)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "term_id": np.full(docs.size, tid, dtype=np.int64),
+                        "doc_id": docs,
+                        "tf": tfs.astype(np.int32),
+                        "score": scores,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "term_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "tf": pd.Series(dtype="int32"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return seg.groupBy("salt", "bucket").applyInPandas(kernel, POSTING_SCHEMA)
+
+
+def term_id_map(
+    spark: SparkSession, index_dir: str | Path, terms: list[str]
+) -> dict[str, int]:
+    """term → term_id for terms present in the dictionary."""
+    return {
+        r["term"]: int(r["term_id"])
+        for r in query_term_rows(spark, index_dir, terms)
+    }
+
+
+def phrase_docs(
+    spark: SparkSession, index_dir: str | Path, words: list[str]
+) -> DataFrame:
+    """doc_ids containing the words ADJACENT in order — index-backed
+    phrase matching from the persisted positions (posdb positional
+    keys, SURVEY.md §1.3; bigram ids, Phrases.cpp — §2.8 X4).
+
+    Kernel: decode the phrase terms' lists WITH positions per salt,
+    then run the standard position-chain intersection — candidate
+    start positions survive term i iff (start + i) is an occurrence of
+    word i. The per-doc loop is over docs containing ALL words (tiny);
+    all array work is numpy."""
+    meta = load_meta(index_dir)
+    tmap = term_id_map(spark, index_dir, words)
+    if any(w not in tmap for w in words):
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    word_tids = [tmap[w] for w in words]
+    tids = sorted(set(word_tids))
+    seg = _pruned_segments(
+        spark, index_dir, tids, meta["config"]["n_buckets"], with_positions=True
+    )
+    tombstones = _load_tombstones(spark, index_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, rows in pdf.groupby("term_id"):
+            docs, _tfs, _sc, poss = decode_blocks(
+                rows, tombstones=tombstones, with_positions=True
+            )
+            per_term[int(tid)] = (docs, poss)
+        if any(t not in per_term for t in word_tids):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        # docs containing every word
+        cand = per_term[word_tids[0]][0]
+        for t in word_tids[1:]:
+            docs = per_term[t][0]
+            if docs.size == 0 or cand.size == 0:
+                cand = cand[:0]
+                break
+            pos = np.searchsorted(docs, cand)
+            pos_c = np.minimum(pos, docs.size - 1)
+            cand = cand[docs[pos_c] == cand]
+        out = []
+        for d in cand:
+            # start-position chain: starts surviving word i satisfy
+            # start + i ∈ positions(word_i, doc d)
+            starts = None
+            ok = True
+            for i, t in enumerate(word_tids):
+                docs, poss = per_term[t]
+                j = int(np.searchsorted(docs, d))
+                p = poss[j].astype(np.int64) - i
+                starts = p if starts is None else np.intersect1d(starts, p)
+                if starts.size == 0:
+                    ok = False
+                    break
+            if ok:
+                out.append(int(d))
+        return pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})
+
+    return seg.groupBy("salt").applyInPandas(kernel, PHRASE_SCHEMA)

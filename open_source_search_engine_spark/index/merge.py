@@ -35,7 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.config import EngineConfig
-from open_source_search_engine_spark.functions.codec import delta_decode, varint_decode
+from open_source_search_engine_spark.functions.codec import (
+    delta_decode,
+    positions_byte_offsets,
+    varint_decode,
+)
 from open_source_search_engine_spark.index import builder as B
 from open_source_search_engine_spark.operators.postings import fast_postings
 from open_source_search_engine_spark.operators.stats import term_stats
@@ -188,32 +192,51 @@ def add_documents(
 
 
 def decode_segments_to_postings(seg: DataFrame) -> DataFrame:
-    """Segments → (term_id, doc_id, tf, generation) posting tuples.
-    Arrow-batched mapInPandas; numpy decode, no per-row Python."""
+    """Segments → (term_id, doc_id, tf, generation[, pos_blob])
+    posting tuples. Arrow-batched mapInPandas; numpy decode, no
+    per-row Python. Per-posting position streams are self-contained
+    (codec.positions_encode), so compaction re-slices block pos_blobs
+    at posting boundaries (continuation-bit scan) and carries the raw
+    bytes through to the re-encoder — positions are never re-encoded."""
+    has_pos = "pos_blob" in seg.columns
+    schema = "term_id long, doc_id long, tf long, generation long"
+    if has_pos:
+        schema += ", pos_blob binary"
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for term_id, gen, blob_d, blob_t in zip(
-                pdf["term_id"], pdf["generation"], pdf["docs_blob"], pdf["tfs_blob"]
+            pos_col = pdf["pos_blob"] if has_pos else [None] * len(pdf)
+            for term_id, gen, blob_d, blob_t, blob_p in zip(
+                pdf["term_id"], pdf["generation"], pdf["docs_blob"],
+                pdf["tfs_blob"], pos_col,
             ):
                 d = delta_decode(bytes(blob_d)).astype("int64")
                 t = varint_decode(bytes(blob_t)).astype("int64")
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term_id": term_id,
-                            "doc_id": d,
-                            "tf": t,
-                            "generation": gen,
-                        }
-                    )
+                out = pd.DataFrame(
+                    {
+                        "term_id": term_id,
+                        "doc_id": d,
+                        "tf": t,
+                        "generation": gen,
+                    }
                 )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term_id": [], "doc_id": [], "tf": [], "generation": []}
-            )
+                if has_pos:
+                    pb = bytes(blob_p) if blob_p is not None else b""
+                    offs = positions_byte_offsets(pb, t)
+                    out["pos_blob"] = [
+                        pb[offs[i] : offs[i + 1]] for i in range(d.size)
+                    ]
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs)
+            else:
+                empty = {"term_id": [], "doc_id": [], "tf": [], "generation": []}
+                if has_pos:
+                    empty["pos_blob"] = []
+                yield pd.DataFrame(empty)
 
-    return seg.mapInPandas(it, "term_id long, doc_id long, tf long, generation long")
+    return seg.mapInPandas(it, schema)
 
 
 def compact(spark: SparkSession, index_dir: str | Path) -> dict:
@@ -239,20 +262,20 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
             | (F.col("generation") >= F.col("before_generation"))
         )
     # newest generation wins per (term, doc)
-    posts = (
-        posts.groupBy("term_id", "doc_id")
-        .agg(F.max_by("tf", "generation").cast("int").alias("tf"))
-    )
+    aggs = [F.max_by("tf", "generation").cast("int").alias("tf")]
+    if "pos_blob" in posts.columns:
+        aggs.append(F.max_by("pos_blob", "generation").alias("pos_blob"))
+    posts = posts.groupBy("term_id", "doc_id").agg(*aggs)
 
     # live doc_meta: liveness comes from doc_meta MINUS tombstones,
     # NOT from surviving posting doc_ids — a live doc with zero
     # postings (empty/whitespace-only content) must keep its
     # sha256/meta row and count toward n_docs/avgdl, or compact would
     # silently diverge from a from-scratch build over the live set.
-    dm = spark.read.parquet(str(index_dir / "doc_meta"))
-    dm = dm.groupBy("doc_id").agg(
-        F.max_by("doc_len", "gen").alias("doc_len"),
-        F.max_by("content_sha256", "gen").alias("content_sha256"),
+    dm_src = spark.read.parquet(str(index_dir / "doc_meta"))
+    extra_cols = [c for c in dm_src.columns if c not in ("doc_id", "gen")]
+    dm = dm_src.groupBy("doc_id").agg(
+        *[F.max_by(c, "gen").alias(c) for c in extra_cols],
         F.max("gen").alias("gen"),
     )
     if tdir.exists():
@@ -265,7 +288,7 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
             F.col("before_generation").isNull()
             | (F.col("gen") >= F.col("before_generation"))
         )
-    dm_live = dm.select("doc_id", "doc_len", "content_sha256")
+    dm_live = dm.select("doc_id", *extra_cols)
 
     row = dm_live.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

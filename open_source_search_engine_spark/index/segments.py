@@ -9,6 +9,12 @@ one term, doc_id-sorted, stored as three binary columns
                 build — the reference's analog is static features baked
                 into the posdb key at index time: density/spam/siterank,
                 XmlDoc.cpp getDiversityVec et al., SURVEY.md §4)
+    pos_blob    concatenated SELF-CONTAINED per-posting position
+                streams (codec.positions_encode; split points recovered
+                from tfs + continuation bits). The reference's posdb
+                key is positional — one key per occurrence (Posdb.h,
+                SURVEY.md §1.3); this is the columnar equivalent, and
+                what serves index-backed phrase/proximity.
 
 plus pruning metadata ``(doc_id_min, doc_id_max, n_docs,
 block_max_score)`` — our RdbMap (RdbMap.cpp per-page key offsets,
@@ -26,6 +32,7 @@ import pandas as pd
 from open_source_search_engine_spark.functions.codec import (
     delta_decode,
     f64_decode,
+    positions_decode,
     varint_decode,
     varint_encode_with_sizes,
 )
@@ -34,7 +41,7 @@ BLOCK_SCHEMA = (
     "bucket int, salt int, term_id long, block_id int, "
     "doc_id_min long, doc_id_max long, n_docs int, "
     "block_max_score double, docs_blob binary, tfs_blob binary, "
-    "scores_blob binary"
+    "scores_blob binary, pos_blob binary"
 )
 
 
@@ -46,6 +53,7 @@ def _encode_sorted(
     tfs: np.ndarray,
     scores: np.ndarray,
     block_size: int,
+    pos_blobs: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode postings ALREADY sorted by (bucket, salt, term_id,
     doc_id) — any mix of (bucket, salt) runs — into block rows.
@@ -88,6 +96,20 @@ def _encode_sorted(
     t_off = np.concatenate(([0], np.cumsum(t_sizes)))
     s_bytes = scores.tobytes()
 
+    if pos_blobs is not None:
+        # per-posting streams are self-contained → a block's pos_blob
+        # is the plain concatenation; offsets from per-posting lengths
+        p_sizes = np.fromiter(
+            (len(x) if x is not None else 0 for x in pos_blobs),
+            dtype=np.int64,
+            count=n,
+        )
+        p_all = b"".join(bytes(x) for x in pos_blobs)
+        p_off = np.concatenate(([0], np.cumsum(p_sizes)))
+        pos_col = [p_all[p_off[s] : p_off[e]] for s, e in zip(b_starts, b_ends)]
+    else:
+        pos_col = [b""] * b_starts.size
+
     block_max = np.maximum.reduceat(scores, b_starts)
     out = {
         "bucket": buckets[b_starts].astype(np.int32),
@@ -107,6 +129,7 @@ def _encode_sorted(
         "scores_blob": [
             s_bytes[8 * s:8 * e] for s, e in zip(b_starts, b_ends)
         ],
+        "pos_blob": pos_col,
     }
     return pd.DataFrame(out)
 
@@ -127,6 +150,9 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         pdf["tf"].to_numpy(np.int64),
         pdf["score"].to_numpy(np.float64),
         block_size,
+        pos_blobs=(
+            pdf["pos_blob"].to_numpy(object) if "pos_blob" in pdf.columns else None
+        ),
     )
 
 
@@ -164,6 +190,11 @@ def make_encode_kernel(
             pdf["tf"].to_numpy(np.int64)[order],
             pdf["score"].to_numpy(np.float64)[order],
             block_size,
+            pos_blobs=(
+                pdf["pos_blob"].to_numpy(object)[order]
+                if "pos_blob" in pdf.columns
+                else None
+            ),
         )
 
     return it
@@ -188,6 +219,7 @@ def _empty_blocks() -> pd.DataFrame:
             "docs_blob": pd.Series(dtype=object),
             "tfs_blob": pd.Series(dtype=object),
             "scores_blob": pd.Series(dtype=object),
+            "pos_blob": pd.Series(dtype=object),
         }
     )
 
@@ -196,11 +228,15 @@ def decode_blocks(
     block_rows: pd.DataFrame,
     keep_mask: np.ndarray | None = None,
     tombstones: tuple[np.ndarray, np.ndarray] | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_positions: bool = False,
+):
     """Decode selected block rows of ONE term (any generations) into
-    (doc_ids, tfs, scores) — doc_id-sorted, later generation wins on
-    duplicate doc_id. ``keep_mask`` selects a subset of rows (block
-    skipping decided by the caller from the metadata columns).
+    (doc_ids, tfs, scores[, positions]) — doc_id-sorted, later
+    generation wins on duplicate doc_id. ``keep_mask`` selects a
+    subset of rows (block skipping decided by the caller from the
+    metadata columns). ``with_positions=True`` additionally returns an
+    object array of per-posting int64 position arrays (decoded from
+    pos_blob; requires a store built with positions).
 
     ``tombstones`` = (dead_doc_ids sorted asc, before_generation): a
     posting from generation g of doc d is annihilated iff d is listed
@@ -211,33 +247,58 @@ def decode_blocks(
         block_rows = block_rows[keep_mask]
     if len(block_rows) == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy(), np.empty(0, dtype=np.float64)
-    docs_parts, tf_parts, sc_parts, gen_parts = [], [], [], []
+        out3 = (z, z.copy(), np.empty(0, dtype=np.float64))
+        return (*out3, np.empty(0, dtype=object)) if with_positions else out3
+    docs_parts, tf_parts, sc_parts, gen_parts, pos_parts = [], [], [], [], []
     gens = (
         block_rows["generation"].to_numpy(np.int64)
         if "generation" in block_rows.columns
         else np.zeros(len(block_rows), dtype=np.int64)
     )
-    for blob_d, blob_t, blob_s, g in zip(
-        block_rows["docs_blob"], block_rows["tfs_blob"], block_rows["scores_blob"], gens
+    pos_blobs = (
+        block_rows["pos_blob"] if with_positions else [None] * len(block_rows)
+    )
+    for blob_d, blob_t, blob_s, blob_p, g in zip(
+        block_rows["docs_blob"],
+        block_rows["tfs_blob"],
+        block_rows["scores_blob"],
+        pos_blobs,
+        gens,
     ):
         d = delta_decode(bytes(blob_d)).astype(np.int64)
+        t = varint_decode(bytes(blob_t)).astype(np.int64)
         docs_parts.append(d)
-        tf_parts.append(varint_decode(bytes(blob_t)).astype(np.int64))
+        tf_parts.append(t)
         sc_parts.append(f64_decode(bytes(blob_s)))
         gen_parts.append(np.full(d.size, g, dtype=np.int64))
+        if with_positions:
+            if blob_p is None:
+                raise ValueError(
+                    "segment store has no pos_blob — built with "
+                    "store_positions=False; positional ops unavailable"
+                )
+            flat = positions_decode(bytes(blob_p), t)
+            split = np.split(flat, np.cumsum(t)[:-1])
+            arr = np.empty(d.size, dtype=object)
+            arr[:] = split
+            pos_parts.append(arr)
     docs = np.concatenate(docs_parts)
     tfs = np.concatenate(tf_parts)
     scores = np.concatenate(sc_parts)
     gen = np.concatenate(gen_parts)
+    poss = np.concatenate(pos_parts) if with_positions else None
     # k-way merge of generation runs (RdbList::merge_r analog): stable
     # sort by (doc_id, generation) then keep the LAST (newest) per doc.
     order = np.lexsort((gen, docs))
     docs, tfs, scores, gen = docs[order], tfs[order], scores[order], gen[order]
+    if with_positions:
+        poss = poss[order]
     if docs.size > 1:
         last = np.ones(docs.size, dtype=bool)
         last[:-1] = docs[1:] != docs[:-1]
         docs, tfs, scores, gen = docs[last], tfs[last], scores[last], gen[last]
+        if with_positions:
+            poss = poss[last]
     if tombstones is not None and tombstones[0].size and docs.size:
         dead_ids, before = tombstones
         pos = np.searchsorted(dead_ids, docs)
@@ -246,4 +307,6 @@ def decode_blocks(
         dead = hit & (gen < before[pos_c])
         keep = ~dead
         docs, tfs, scores = docs[keep], tfs[keep], scores[keep]
-    return docs, tfs, scores
+        if with_positions:
+            poss = poss[keep]
+    return (docs, tfs, scores, poss) if with_positions else (docs, tfs, scores)

@@ -45,6 +45,15 @@ from open_source_search_engine_spark.index.segments import decode_blocks
 
 KERNEL_SCHEMA = "doc_id long, score double, n_terms int"
 
+# every column the salt kernel reads — scans select exactly these so
+# parquet column pruning drops pos_blob (positions are for the
+# phrase/proximity path, index/lists.py, never for top-k scoring)
+KERNEL_INPUT_COLS = (
+    "salt", "term_id", "generation", "n_docs", "doc_id_min",
+    "doc_id_max", "block_max_score", "docs_blob", "tfs_blob",
+    "scores_blob",
+)
+
 
 def query_term_rows(
     spark: SparkSession, index_dir: str | Path, terms: list[str]
@@ -244,6 +253,9 @@ def wand_topk(
 
     seg = spark.read.parquet(str(Path(index_dir) / "segments"))
     seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+    # explicit projection: top-k scoring never touches pos_blob — the
+    # parquet scan prunes the (largest) column entirely
+    seg = seg.select(*KERNEL_INPUT_COLS)
 
     tombstones = _load_tombstones(spark, index_dir)
     kernel = make_salt_kernel(tids, k, mode, tombstones)

@@ -64,8 +64,8 @@ def staged_postings(
     """Union-layout build intermediate: ONE tokenizer pass emits both
     posting rows and per-doc meta rows in a single schema
 
-        posting row:  (term, doc_id, tf>0, doc_len, sha=NULL)
-        meta row:     (term=NULL, doc_id, tf=0, doc_len, sha)
+        posting row:  (term, doc_id, tf>0, doc_len, sha=NULL, pos_blob)
+        meta row:     (term=NULL, doc_id, tf=0, doc_len, sha, pos_blob=NULL)
 
     so the whole build needs exactly one pass over the raw text and
     doc_meta becomes a FILTER of the staged output — no groupBy, no
@@ -73,12 +73,23 @@ def staged_postings(
     XmlDoc::indexDoc and emits posdb keys + the TitleRec from the same
     parse — SURVEY.md §3.2; this is that shape). sha256 is computed
     JVM-side (F.sha2) and passed through the tokenizer batch untouched;
-    it rides on the ~n_docs meta rows only, not on postings."""
+    it rides on the ~n_docs meta rows only, not on postings.
+
+    ``pos_blob`` is the posting's token positions, delta+varint encoded
+    SELF-CONTAINED per posting (codec.positions_encode) — the
+    reference's posdb key is positional, one key per occurrence
+    (Posdb.h key layout, SURVEY.md §1.3); we carry the occurrence
+    positions as a compact per-posting blob instead, which the segment
+    encoder concatenates per block without re-encoding.
+
+    In-batch grouping is pure numpy (factorize + lexsort + boundary
+    scan) — no pandas groupby, no per-row Python."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
+    from open_source_search_engine_spark.functions.codec import positions_encode
     from open_source_search_engine_spark.functions.tokenizer import (
         _code_tokenize_series,
         _drop_stopwords,
@@ -99,8 +110,8 @@ def staged_postings(
                     toks = _drop_stopwords(toks, stop)
             else:  # pragma: no cover
                 raise ValueError(f"unknown tokenizer mode: {mode}")
-            lens = toks.str.len().to_numpy()
-            ids = pdf["doc_id"].to_numpy()
+            lens = toks.str.len().to_numpy(np.int64)
+            ids = pdf["doc_id"].to_numpy(np.int64)
             meta = pd.DataFrame(
                 {
                     "term": pd.Series([None] * len(pdf), dtype=object),
@@ -108,32 +119,47 @@ def staged_postings(
                     "tf": np.zeros(len(pdf), dtype="int32"),
                     "doc_len": lens.astype("int32"),
                     "sha": pdf["__sha"].to_numpy(),
+                    "pos_blob": pd.Series([None] * len(pdf), dtype=object),
                 }
             )
-            if lens.sum() == 0:
+            total = int(lens.sum())
+            if total == 0:
                 yield meta
                 continue
-            flat = pd.DataFrame(
+            flat_doc = ids.repeat(lens)
+            flat_term = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            # token position within its doc (post-stopword stream)
+            doc_starts = np.cumsum(lens) - lens
+            flat_pos = np.arange(total, dtype=np.int64) - doc_starts.repeat(lens)
+            # group to (doc, term) postings: factorize terms, lexsort,
+            # boundary scan — positions stay ascending within a group
+            # because the sort is stable on flat_pos last key
+            codes, uniq = pd.factorize(flat_term, sort=False)
+            order = np.lexsort((flat_pos, codes, flat_doc))
+            fd, fc, fp = flat_doc[order], codes[order], flat_pos[order]
+            new_g = np.empty(total, dtype=bool)
+            new_g[0] = True
+            new_g[1:] = (fd[1:] != fd[:-1]) | (fc[1:] != fc[:-1])
+            g_starts = np.flatnonzero(new_g)
+            g_ends = np.concatenate((g_starts[1:], [total]))
+            tf = (g_ends - g_starts).astype(np.int64)
+            pbuf, poffs = positions_encode(fp, tf)
+            out = pd.DataFrame(
                 {
-                    "doc_id": ids.repeat(lens),
-                    "term": np.concatenate(
-                        [np.asarray(t, dtype=object) for t in toks]
-                    ),
+                    "term": np.asarray(uniq, dtype=object)[fc[g_starts]],
+                    "doc_id": fd[g_starts],
+                    "tf": tf.astype("int32"),
+                    "doc_len": pd.Series(lens, index=ids)
+                    .reindex(fd[g_starts])
+                    .to_numpy()
+                    .astype("int32"),
+                    "sha": pd.Series([None] * g_starts.size, dtype=object),
+                    "pos_blob": [
+                        pbuf[poffs[i] : poffs[i + 1]] for i in range(g_starts.size)
+                    ],
                 }
             )
-            out = (
-                flat.groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
-            out["tf"] = out["tf"].astype("int32")
-            len_of = pd.Series(lens, index=ids)
-            out["doc_len"] = out["doc_id"].map(len_of).astype("int32")
-            out["sha"] = pd.Series([None] * len(out), dtype=object)
-            yield pd.concat(
-                [out[["term", "doc_id", "tf", "doc_len", "sha"]], meta],
-                ignore_index=True,
-            )
+            yield pd.concat([out, meta], ignore_index=True)
 
     sel = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -141,7 +167,7 @@ def staged_postings(
         F.sha2(F.col(text_col).cast("binary"), 256).alias("__sha"),
     )
     staged = sel.mapInPandas(
-        it, "term string, doc_id long, tf int, doc_len int, sha string"
+        it, "term string, doc_id long, tf int, doc_len int, sha string, pos_blob binary"
     )
     return staged.withColumn("term_id", term_id_col(F.col("term")))
 

@@ -136,3 +136,36 @@ def test_encode_kernel_matches_encode_group():
         assert all(
             bytes(x) == bytes(y) for x, y in zip(a[col], b[col])
         ), col
+
+
+def test_positions_roundtrip_and_self_contained_slices():
+    """positions_encode/decode roundtrip + the per-posting slice
+    contract the segment/compaction paths rely on: every posting's
+    byte slice decodes standalone, and byte offsets are recoverable
+    from the continuation-bit scan alone (positions_byte_offsets)."""
+    from open_source_search_engine_spark.functions.codec import (
+        positions_byte_offsets,
+        positions_decode,
+        positions_encode,
+    )
+
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        tfs = rng.integers(1, 9, n).astype(np.int64)
+        flat = np.concatenate(
+            [np.sort(rng.choice(100_000, tf, replace=False)) for tf in tfs]
+        ).astype(np.int64)
+        buf, offs = positions_encode(flat, tfs)
+        assert np.array_equal(positions_decode(buf, tfs), flat)
+        assert np.array_equal(positions_byte_offsets(buf, tfs), offs)
+        cum = np.concatenate(([0], np.cumsum(tfs)))
+        for i in (0, n // 2, n - 1):
+            sub = buf[offs[i]:offs[i + 1]]
+            assert np.array_equal(
+                positions_decode(sub, tfs[i:i + 1]), flat[cum[i]:cum[i + 1]]
+            )
+    empty_b, empty_o = positions_encode(
+        np.empty(0, np.int64), np.empty(0, np.int64)
+    )
+    assert empty_b == b"" and list(empty_o) == [0]
