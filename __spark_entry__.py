@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- query-language front end (Query.cpp set2; §2.2 F1-F5) ---
         "query_language": lambda s, d: _qlang_q(s, d),
         "query_language_phrase": lambda s, d: _qlang_phrase_q(s, d),
+        # --- nested boolean expressions (Query.cpp Expression, F5) ---
+        "bool_expr": lambda s, d: _bool_q(s, d, BOOL_Q1, False),
+        "bool_expr_nested": lambda s, d: _bool_q(s, d, BOOL_Q2, False),
+        "bool_expr_indexed": lambda s, d: _bool_q(s, d, BOOL_Q1, True),
         # --- synonym OR-groups (SURVEY §2.8 X5) ---
         "bm25_synonyms": lambda s, d: bm25.bm25_grouped(
             _docs(s, d), [["join", "merge"], ["hash"]], k=10
@@ -198,6 +202,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lookup": osql.doc_lookup_sql(42),
         "query_language": _qlang_sql(QLANG_Q),
         "query_language_phrase": _qlang_sql(QLANG_PHRASE_Q),
+        "bool_expr": _bool_sql(BOOL_Q1),
+        "bool_expr_nested": _bool_sql(BOOL_Q2),
+        "bool_expr_indexed": _bool_sql(BOOL_Q1),
         "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
     }
     o.update(dedup.driver_oracles())
@@ -209,6 +216,22 @@ def oracle_sql() -> dict[str, str]:
 
 QLANG_Q = "join +hash -dup lang:en"
 QLANG_PHRASE_Q = '"join hash" scan'
+BOOL_Q1 = "(join OR hash) AND NOT (dup OR key)"
+BOOL_Q2 = "(scan AND key) OR (merge AND NOT dup)"
+
+
+def _bool_q(spark: SparkSession, sf_dir: str, q: str, use_index: bool) -> DataFrame:
+    from open_source_search_engine_spark.plans import boolean_expr
+
+    if use_index:
+        return boolean_expr.evaluate_indexed(spark, _segment_index(spark, sf_dir), q)
+    return boolean_expr.evaluate(_docs(spark, sf_dir), q)
+
+
+def _bool_sql(q: str) -> str:
+    from open_source_search_engine_spark.plans import boolean_expr
+
+    return boolean_expr.to_sql(q)
 
 
 def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
