@@ -23,7 +23,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
-from open_source_search_engine_spark.operators import dedup, multimodal, similarity, textstats
+from open_source_search_engine_spark.operators import anchors, dedup, multimodal, similarity, textstats
 from open_source_search_engine_spark.operators.postings import doc_tokens
 from open_source_search_engine_spark.operators.stats import doc_meta
 from open_source_search_engine_spark.plans import oracle_sql as osql
@@ -53,6 +53,7 @@ def _segment_index(spark: SparkSession, sf_dir: str) -> Path:
             cfg=EngineConfig(n_buckets=16, n_salts=4, block_size=64),
             text_col="text",
             extra_meta_cols=["lang", "source", "n_chars"],
+            index_fields=["lang", "source"],
         )
         _IDX_CACHE[sf_dir] = d
     return _IDX_CACHE[sf_dir]
@@ -142,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_indexed": _idx_q("paginate", terms=FLAGSHIP_TERMS, offset=10, limit=10),
         "phrase_bigram_indexed": _idx_q("phrase_bigram", w1="join", w2="hash"),
         "bm25_topk_indexed": _idx_q("bm25_topk", terms=FLAGSHIP_TERMS, k=10, mode="and"),
+        "bm25_lang_filter_indexed": _idx_q(
+            "bm25_topk_field", terms=FLAGSHIP_TERMS, field="lang", value="en", k=10
+        ),
         # --- presentation (SURVEY §2.9 P1-P3) + direct lookup (§3.3) ---
         "search_snippets": lambda s, d: _snippets_q(s, d),
         "doc_lookup": lambda s, d: _doc_lookup_q(s, d),
@@ -157,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), [["join", "merge"], ["hash"]], k=10
         ),
     }
+    q.update(anchors.driver_queries())
     q.update(dedup.driver_queries())
     q.update(multimodal.driver_queries())
     q.update(similarity.driver_queries())
@@ -198,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
         "pagination_indexed": osql.pagination_sql(FLAGSHIP_TERMS, offset=10, limit=10),
         "phrase_bigram_indexed": osql.phrase_bigram_sql("join", "hash"),
         "bm25_topk_indexed": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
+        "bm25_lang_filter_indexed": osql.bm25_topk_sql(
+            FLAGSHIP_TERMS, k=10, mode="and", lang="en"
+        ),
         "search_snippets": osql.snippets_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "doc_lookup": osql.doc_lookup_sql(42),
         "query_language": _qlang_sql(QLANG_Q),
@@ -207,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_expr_indexed": _bool_sql(BOOL_Q1),
         "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
     }
+    o.update(anchors.driver_oracles())
     o.update(dedup.driver_oracles())
     o.update(multimodal.driver_oracles())
     o.update(similarity.driver_oracles())

@@ -251,11 +251,20 @@ def build_index(
     tokenizer_mode: str = "simple",
     resume: bool = False,
     input_snapshot: str = "full",
+    index_fields: list[str] | None = None,
 ) -> dict:
     """Full (generation-0) index build. Returns the meta dict.
 
     ``resume=True`` skips every bucket already present in the
-    generation-0 manifest (checkpoint restart, north_rule)."""
+    generation-0 manifest (checkpoint restart, north_rule).
+
+    ``index_fields`` — metadata columns to index as composite
+    ``field:value`` terms (the reference's field-prefixed termIds:
+    hash64h(field, term) special termlists sharded by termId,
+    SURVEY.md §1.2/§2.2 F3). A field restriction then resolves to ONE
+    pruned list read instead of a doc_meta scan+join; the terms live
+    in term_dict / segments like any other term (tf=1, score unused —
+    they are filter lists, not scored lists)."""
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
 
@@ -283,6 +292,24 @@ def build_index(
     # entirely (checkpoint semantics); it is deleted on commit only.
     sp = spark.read.parquet(str(staging))
     posts = sp.filter(F.col("tf") > 0)
+    if index_fields:
+        from open_source_search_engine_spark.functions.hashing import term_id_col
+
+        fparts = [
+            docs.select(
+                F.concat(F.lit(f + ":"), F.col(f).cast("string")).alias("term"),
+                F.col(id_col).alias("doc_id"),
+                F.lit(1).cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("doc_len"),
+                F.lit(None).cast("string").alias("sha"),
+                F.lit(None).cast("binary").alias("pos_blob"),
+            ).filter(F.col("term").isNotNull())
+            for f in index_fields
+        ]
+        fposts = fparts[0]
+        for p in fparts[1:]:
+            fposts = fposts.unionByName(p)
+        posts = posts.unionByName(fposts.withColumn("term_id", term_id_col(F.col("term"))))
     if resume and meta_path.exists() and dm_dir.exists() and td_dir.exists():
         meta = load_meta(index_dir)
     else:
@@ -319,6 +346,7 @@ def build_index(
             "generations": [0],
             "tokenizer_mode": tokenizer_mode,
             "text_col": text_col,
+            "index_fields": sorted(index_fields or []),
         }
         _write_meta(index_dir, meta)
 

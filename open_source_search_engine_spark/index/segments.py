@@ -104,7 +104,7 @@ def _encode_sorted(
             dtype=np.int64,
             count=n,
         )
-        p_all = b"".join(bytes(x) for x in pos_blobs)
+        p_all = b"".join(bytes(x) if x is not None else b"" for x in pos_blobs)
         p_off = np.concatenate(([0], np.cumsum(p_sizes)))
         pos_col = [p_all[p_off[s] : p_off[e]] for s, e in zip(b_starts, b_ends)]
     else:

@@ -84,15 +84,25 @@ def bm25_scores(
     tokenizer_mode: str = "simple",
     require_docs: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
+    extra_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """FULL scored match set (doc_id, _score float64, unrounded,
     unordered, no k cut) — the partial result every result-shaping
     operator (top-k, site-cap window, pagination) consumes. Kept
     un-limited so consumers never funnel the match set through a
     single-point TakeOrderedAndProject; each applies its own window /
-    limit (the Msg3a partial/final shape, SURVEY.md §2.6)."""
+    limit (the Msg3a partial/final shape, SURVEY.md §2.6).
+
+    ``extra_tokens`` (doc_id, term) is unioned into the token stream
+    before ANY statistic — df, tf, doc_len and avgdl are all computed
+    over the combined stream (the anchor-text indexing hook, J3:
+    operators/anchors.py)."""
     terms = sorted(set(query_terms))
     tokens = doc_tokens(docs, text_col, id_col, mode=tokenizer_mode)
+    if extra_tokens is not None:
+        tokens = tokens.select("doc_id", "term").unionByName(
+            extra_tokens.select("doc_id", "term")
+        )
     posts = postings(tokens, with_positions=False)
     meta = doc_meta(docs, tokens, text_col, id_col)
     stats = corpus_stats(meta)
@@ -143,6 +153,7 @@ def bm25_topk_oracle(
     tokenizer_mode: str = "simple",
     require_docs: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
+    extra_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag of query terms, end to end from
     the raw docs table. `mode='and'` requires all terms present
@@ -154,7 +165,7 @@ def bm25_topk_oracle(
     """
     agg = bm25_scores(
         docs, query_terms, mode, candidate_filter, cfg, text_col, id_col,
-        tokenizer_mode, require_docs, exclude_docs,
+        tokenizer_mode, require_docs, exclude_docs, extra_tokens,
     )
     return (
         agg.orderBy(F.desc("_score"), F.asc("doc_id"))

@@ -31,6 +31,37 @@ def _doc_meta(spark: SparkSession, index_dir: str | Path) -> DataFrame:
     return spark.read.parquet(str(Path(index_dir) / "doc_meta"))
 
 
+def field_docs(spark: SparkSession, index_dir, field: str, value: str) -> DataFrame:
+    """Doc set for a ``field:value`` restriction served from the
+    composite-term posting list (built with ``index_fields`` — the
+    reference's field-prefixed termIds, SURVEY.md §2.2 F3): one pruned
+    list read, no doc_meta scan."""
+    return L.term_postings(spark, index_dir, [f"{field}:{value}"]).select("doc_id")
+
+
+def bm25_topk_field(
+    spark: SparkSession,
+    index_dir,
+    terms: list[str],
+    field: str,
+    value: str,
+    k: int = 10,
+    mode: str = "and",
+) -> DataFrame:
+    """Field-restricted BM25 top-k, BOTH legs from the index: the
+    restriction is the composite-term list, the scores are the
+    precomputed per-posting contributions."""
+    scored = scored_matches(
+        spark, index_dir, terms, mode,
+        candidate_docs=field_docs(spark, index_dir, field, value),
+    )
+    return (
+        scored.orderBy(F.desc("_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("_score", 5).alias("score"))
+    )
+
+
 def term_lookup(spark: SparkSession, index_dir, term: str) -> DataFrame:
     """(doc_id, tf) for one term — the Rdb list read (S3), decoded."""
     tp = L.term_postings(spark, index_dir, [term])

@@ -141,11 +141,19 @@ def execute_indexed(
     from open_source_search_engine_spark.index import lists as L
     from open_source_search_engine_spark.operators import indexed as X
 
+    from open_source_search_engine_spark.index.builder import load_meta
+
     pq = parse(q)
+    meta = load_meta(index_dir)
+    indexed_fields = set(meta.get("index_fields", []))
     dm = spark.read.parquet(str(Path(index_dir) / "doc_meta"))
     candidate = None
     for f, v in pq.filters.items():
-        keep = dm.filter(F.col(f) == v).select("doc_id")
+        if f in indexed_fields:
+            # field-prefixed termlist (F3): one pruned list read
+            keep = X.field_docs(spark, index_dir, f, v)
+        else:
+            keep = dm.filter(F.col(f) == v).select("doc_id")
         candidate = keep if candidate is None else candidate.join(keep, "doc_id", "left_semi")
 
     require = None

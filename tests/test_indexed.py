@@ -154,3 +154,31 @@ def test_sitecap_paginate_indexed(spark, tiny_corpus, idx):
     page1 = indexed.paginate(spark, idx, TERMS, 5, 5).collect()
     full = indexed.bm25_topk(spark, idx, TERMS, k=10).collect()
     assert [r["doc_id"] for r in page0 + page1] == [r["doc_id"] for r in full]
+
+
+def test_field_prefixed_terms(spark, tiny_corpus, tmp_path_factory):
+    """index_fields builds `field:value` composite termlists (F3):
+    field restriction resolves to one pruned list read, identical to
+    the doc_meta filter."""
+    d = tmp_path_factory.mktemp("idx_fields") / "idx"
+    builder.build_index(
+        spark, tiny_corpus, d, cfg=TEST_CFG, text_col="content",
+        tokenizer_mode="code", extra_meta_cols=["lang"], index_fields=["lang"],
+    )
+    meta_docs = set(
+        r["doc_id"]
+        for r in spark.read.parquet(str(d / "doc_meta"))
+        .filter(F.col("lang") == "py")
+        .select("doc_id")
+        .collect()
+    )
+    got = set(r["doc_id"] for r in indexed.field_docs(spark, d, "lang", "py").collect())
+    assert got == meta_docs and got
+    want = bm25.bm25_topk_oracle(
+        tiny_corpus, TERMS, k=10, mode="and", text_col="content",
+        tokenizer_mode="code", candidate_filter=(F.col("lang") == "py"),
+    ).collect()
+    res = indexed.bm25_topk_field(spark, d, TERMS, "lang", "py", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in res] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
