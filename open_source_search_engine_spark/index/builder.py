@@ -151,29 +151,42 @@ def _encode_and_write(
     bucket_expr = F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
     if buckets is not None:
         sel = sel.filter(bucket_expr.isin(buckets))
-    # explicit partition count: an expression-only repartition is
-    # AQE-coalescible, and the 64 MB advisory merges this shuffle into
-    # ~(bytes/64MB) partitions — at 16 cores that is one full wave plus
-    # a straggler wave of one (measured 20-25% stage inflation). An
-    # explicit N is respected by AQE; N = shuffle_partitions keeps the
-    # waves even at any core count.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    blocks = sel.repartition(
-        n_shuffle, bucket_expr, _salt_col(F.col("doc_id"), max_doc_id, cfg.n_salts)
-    ).mapInPandas(
-        make_encode_kernel(cfg.block_size, cfg.n_buckets, max_doc_id, cfg.n_salts),
-        BLOCK_SCHEMA,
-    )
-    # cluster the encoded blocks by bucket before the partitioned
-    # write: without this every write task holds rows of MANY buckets
-    # and partitionBy explodes into tasks×buckets small files whose
-    # commit serializes on the driver (measured anti-scaling 8→32
-    # cores). One partition per bucket → one file per bucket dir; the
-    # within-file term_id sort gives parquet row-group min/max stats
-    # that the query path's term_id filter prunes on (RdbMap analog).
+    # ONE shuffle end to end: the salted repartition hashes on the
+    # (bucket, salt) EXPRESSIONS (explicit N — AQE respects it and the
+    # waves stay even at any core count), the kernel emits blocks
+    # already sorted (bucket, term_id, salt, doc) and the partitioned
+    # write happens straight off the kernel output. The old plan
+    # re-shuffled the ENCODED blocks into n_buckets partitions to get
+    # one file per bucket dir — that second shuffle moved the entire
+    # index bytes again and capped write parallelism at n_buckets
+    # (measured: the encode+write phase scaled 4→16 cores at only
+    # 1.46×). Now write tasks = shuffle partitions, independent of
+    # n_buckets; each task holds ~(n_buckets·n_salts)/N whole
+    # (bucket, salt) groups, so a bucket dir gets ~n_salts files — and
+    # the term-major sort within each task keeps parquet row-group
+    # term_id min/max stats tight for the query path's pruning
+    # (RdbMap analog).
+    # floor of 64 partitions: the whole-partition encode kernel's
+    # arena scales with partition size, and first-touch of a fresh
+    # arena is a fixed per-worker cost on virtualized hosts — more,
+    # smaller partitions keep arenas small and reused (a worker
+    # processes many partitions with one arena) and keep waves even
+    n_shuffle = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 64)
+    salt_expr = _salt_col(F.col("doc_id"), max_doc_id, cfg.n_salts)
+    # the (bucket, term, salt, doc) sort runs JVM-SIDE: Tungsten's
+    # radix/binary sort is far less memory-bandwidth-hungry than a
+    # numpy lexsort+gather in the Python kernel (measured: the numpy
+    # path scales 4→16 cores at ~0.46 on this host; the pure-streaming
+    # kernel over pre-sorted input removes that wall)
     blocks = (
-        blocks.repartition(cfg.n_buckets, "bucket")
-        .sortWithinPartitions("term_id", "salt", "block_id")
+        sel.repartition(n_shuffle, bucket_expr, salt_expr)
+        .sortWithinPartitions(
+            bucket_expr, F.col("term_id"), salt_expr, F.col("doc_id")
+        )
+        .mapInArrow(
+            make_encode_kernel(cfg.block_size, cfg.n_buckets, max_doc_id, cfg.n_salts),
+            BLOCK_SCHEMA,
+        )
         .persist()
     )
     seg_dir = index_dir / "segments" / f"generation={generation}"

@@ -83,11 +83,15 @@ def staged_postings(
     encoder concatenates per block without re-encoding.
 
     In-batch grouping is pure numpy (factorize + lexsort + boundary
-    scan) — no pandas groupby, no per-row Python."""
+    scan) and the kernel speaks Arrow directly (mapInArrow): pos_blob
+    is emitted as ONE contiguous stream + per-posting offsets — no
+    per-posting Python bytes objects (the pandas-object path cost ~3×
+    tokenize time at 4 cores)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
     from open_source_search_engine_spark.functions.codec import positions_encode
     from open_source_search_engine_spark.functions.tokenizer import (
@@ -96,12 +100,37 @@ def staged_postings(
     )
 
     stop = tuple(sorted(stopwords))
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int32()),
+            ("doc_len", pa.int32()),
+            ("sha", pa.string()),
+            ("pos_blob", pa.binary()),
+        ]
+    )
 
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def _meta_batch(ids: np.ndarray, lens: np.ndarray, sha: pa.Array) -> pa.RecordBatch:
+        n = ids.size
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.nulls(n, pa.string()),
+                pa.array(ids, pa.int64()),
+                pa.array(np.zeros(n, np.int32)),
+                pa.array(lens.astype(np.int32)),
+                sha,
+                pa.nulls(n, pa.binary()),
+            ],
+            schema=schema,
+        )
+
+    def it(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            text = pdf["__text"].fillna("")
+            text = rb.column("__text").to_pandas().fillna("")
+            ids = rb.column("doc_id").to_numpy()
             if mode == "code":
                 toks = _code_tokenize_series(text, lowercase=True, stopwords=stop)
             elif mode == "simple":
@@ -111,62 +140,58 @@ def staged_postings(
             else:  # pragma: no cover
                 raise ValueError(f"unknown tokenizer mode: {mode}")
             lens = toks.str.len().to_numpy(np.int64)
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            meta = pd.DataFrame(
-                {
-                    "term": pd.Series([None] * len(pdf), dtype=object),
-                    "doc_id": ids,
-                    "tf": np.zeros(len(pdf), dtype="int32"),
-                    "doc_len": lens.astype("int32"),
-                    "sha": pdf["__sha"].to_numpy(),
-                    "pos_blob": pd.Series([None] * len(pdf), dtype=object),
-                }
-            )
+            yield _meta_batch(ids, lens, rb.column("__sha"))
             total = int(lens.sum())
             if total == 0:
-                yield meta
                 continue
             flat_doc = ids.repeat(lens)
             flat_term = np.concatenate([np.asarray(t, dtype=object) for t in toks])
             # token position within its doc (post-stopword stream)
             doc_starts = np.cumsum(lens) - lens
             flat_pos = np.arange(total, dtype=np.int64) - doc_starts.repeat(lens)
-            # group to (doc, term) postings: factorize terms, lexsort,
-            # boundary scan — positions stay ascending within a group
-            # because the sort is stable on flat_pos last key
+            # group to (doc, term) postings with ONE stable argsort on
+            # a composite (local-doc-ordinal << 32 | term-code) key —
+            # a 3-key lexsort is 3 stable sort passes + gathers, and
+            # sorting is memory-bandwidth-bound on this class of host.
+            # Stability keeps positions ascending within each group.
             codes, uniq = pd.factorize(flat_term, sort=False)
-            order = np.lexsort((flat_pos, codes, flat_doc))
-            fd, fc, fp = flat_doc[order], codes[order], flat_pos[order]
+            local = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
+            key = (local << np.int64(32)) | codes.astype(np.int64)
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            fd, fp = flat_doc[order], flat_pos[order]
+            fc = (ks & np.int64(0xFFFFFFFF)).astype(np.int64)
             new_g = np.empty(total, dtype=bool)
             new_g[0] = True
-            new_g[1:] = (fd[1:] != fd[:-1]) | (fc[1:] != fc[:-1])
+            new_g[1:] = ks[1:] != ks[:-1]
             g_starts = np.flatnonzero(new_g)
             g_ends = np.concatenate((g_starts[1:], [total]))
             tf = (g_ends - g_starts).astype(np.int64)
             pbuf, poffs = positions_encode(fp, tf)
-            out = pd.DataFrame(
-                {
-                    "term": np.asarray(uniq, dtype=object)[fc[g_starts]],
-                    "doc_id": fd[g_starts],
-                    "tf": tf.astype("int32"),
-                    "doc_len": pd.Series(lens, index=ids)
-                    .reindex(fd[g_starts])
-                    .to_numpy()
-                    .astype("int32"),
-                    "sha": pd.Series([None] * g_starts.size, dtype=object),
-                    "pos_blob": [
-                        pbuf[poffs[i] : poffs[i + 1]] for i in range(g_starts.size)
-                    ],
-                }
+            n_posts = g_starts.size
+            len_of = pd.Series(lens, index=ids)
+            from open_source_search_engine_spark.index.segments import _binary_array
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(uniq, dtype=object)[fc[g_starts]], pa.string()),
+                    pa.array(fd[g_starts], pa.int64()),
+                    pa.array(tf.astype(np.int32)),
+                    pa.array(
+                        len_of.reindex(fd[g_starts]).to_numpy().astype(np.int32)
+                    ),
+                    pa.nulls(n_posts, pa.string()),
+                    _binary_array(pbuf, poffs),
+                ],
+                schema=schema,
             )
-            yield pd.concat([out, meta], ignore_index=True)
 
     sel = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__text"),
         F.sha2(F.col(text_col).cast("binary"), 256).alias("__sha"),
     )
-    staged = sel.mapInPandas(
+    staged = sel.mapInArrow(
         it, "term string, doc_id long, tf int, doc_len int, sha string, pos_blob binary"
     )
     return staged.withColumn("term_id", term_id_col(F.col("term")))

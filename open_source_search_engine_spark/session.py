@@ -32,7 +32,24 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     _export_pythonpath()
+    # glibc returns every >128 KB buffer to the OS on free (mmap +
+    # munmap), so each large numpy temp in the Arrow kernels pays
+    # first-touch page faults again — measured at ~20 MB/s on this
+    # virtualized host (≈200 µs/page), which made fresh-allocation
+    # numpy passes 10-100× slower than warm ones. Raising the mmap /
+    # trim thresholds keeps big buffers on the heap: each long-lived
+    # Python worker faults its arena ONCE and reuses it for every
+    # batch thereafter. Same flags are exported to executors for
+    # cluster mode (python workers inherit the executor env).
+    _MALLOC_ENV = {
+        "MALLOC_MMAP_THRESHOLD_": "1073741824",
+        "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    }
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     if master:
         builder = builder.config("spark.master", master)
     # AQE: runtime coalescing + skew-join splitting. On a real cluster
@@ -48,7 +65,15 @@ def get_spark(
         # Arrow for pandas_udf / applyInPandas — the only Python<->JVM
         # data path we allow (input_hint: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 4k rows/batch: large enough to amortize Arrow overhead,
+        # small enough that the tokenize kernel's per-batch temps
+        # (~300 tokens/doc × ~10 int64 arrays ≈ 120 MB) keep each
+        # worker's reusable arena small — on this virtualized host,
+        # first-touch of fresh pages runs ~20 MB/s, so arena size is a
+        # FIXED per-worker cost that directly caps scaling efficiency
+        # (t = W/N + c); measured 16k-row batches cost ~23 s/worker,
+        # 4k rows ~6 s, paid once thanks to the malloc thresholds above
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # 128 MB scan splits: right-sized for 100 TB parquet scans too.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", "8g")

@@ -114,10 +114,28 @@ def test_encode_kernel_matches_encode_group():
     pdf["salt"] = np.minimum(pdf["doc_id"] // width, n_salts - 1)
 
     kernel = make_encode_kernel(bs, n_buckets, max_doc_id, n_salts)
-    # feed the kernel the whole frame split into arbitrary batches
+    # feed the kernel the whole frame split into arbitrary Arrow
+    # batches (the kernel is mapInArrow now)
+    import pyarrow as pa
+
     out_kernel = pd.concat(
-        list(kernel(iter([pdf.iloc[:1234].drop(columns=["bucket", "salt"]),
-                          pdf.iloc[1234:].drop(columns=["bucket", "salt"])])))
+        [
+            rb.to_pandas()
+            for rb in kernel(
+                iter(
+                    [
+                        pa.RecordBatch.from_pandas(
+                            pdf.iloc[:1234].drop(columns=["bucket", "salt"]),
+                            preserve_index=False,
+                        ),
+                        pa.RecordBatch.from_pandas(
+                            pdf.iloc[1234:].drop(columns=["bucket", "salt"]),
+                            preserve_index=False,
+                        ),
+                    ]
+                )
+            )
+        ]
     )
     out_groups = pd.concat(
         [encode_group(g, bs) for _, g in pdf.groupby(["bucket", "salt"])]
