@@ -259,11 +259,122 @@ def embedding_near_dup(
     )
 
 
+def _planes_values_sql(planes: np.ndarray) -> str:
+    """VALUES rows (plane_id, vals float[]) for the deterministic ±1
+    hyperplanes — byte-identical constants in both engines (planes are
+    exactly ±1.0, so literal round-trip is lossless)."""
+    rows = []
+    for i, row in enumerate(planes):
+        vals = ", ".join("1.0" if x > 0 else "-1.0" for x in row)
+        rows.append(f"({i}, [{vals}]::DOUBLE[])")
+    return ",\n  ".join(rows)
+
+
+def _sig_sql(planes: np.ndarray, sig_alias: str = "sig") -> str:
+    """CTE chain computing the packed-long hyperplane signature per
+    vec_id — the DuckDB mirror of `_sig_long` (bit p = dot > 0)."""
+    return f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planes(plane_id, vals) AS (VALUES
+  {_planes_values_sql(planes)}
+), ev AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+), pv AS (
+  SELECT plane_id, unnest(vals) AS y, generate_subscripts(vals, 1) AS i FROM planes
+), dots AS (
+  SELECT vec_id, plane_id, SUM(x * y) AS d
+  FROM ev JOIN pv USING (i) GROUP BY vec_id, plane_id
+), {sig_alias} AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d > 0 THEN 1::BIGINT << plane_id ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+)"""
+
+
+def lsh_ann_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 6,
+    dim: int = 64,
+) -> str:
+    """Full-pipeline DuckDB oracle for ``lsh_ann_topk``: the SAME
+    deterministic signatures, the SAME hamming-radius candidate set,
+    exact-cosine rerank — so the approximate operator is value-checked
+    end to end, not rows-only."""
+    planes = _hyperplanes(dim, n_planes)
+    return f"""WITH {_sig_sql(planes)}, q AS (
+  SELECT e.v AS qv, s.sig AS qsig
+  FROM e JOIN sig s USING (vec_id) WHERE vec_id = {query_vec_id}
+), cand AS (
+  SELECT s.vec_id FROM sig s, q WHERE bit_count(xor(s.sig, q.qsig)) <= {max_hamming}
+), flat AS (
+  SELECT e.vec_id, unnest(e.v) AS x, unnest(q.qv) AS y
+  FROM e JOIN cand USING (vec_id) CROSS JOIN q
+), agg AS (
+  SELECT vec_id,
+         SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS cos
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_id, ROUND(cos, 5) AS cos_sim
+FROM agg ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_bands: int = N_DUP_BANDS,
+    band_bits: int = DUP_BAND_BITS,
+) -> str:
+    """Same-pipeline DuckDB oracle for ``embedding_near_dup``: banded
+    signatures → same-band candidate pairs → exact-cosine verify."""
+    planes = _hyperplanes(dim, n_bands * band_bits)
+    bands_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {bi} AS band_id,"
+        f" SUM(CASE WHEN d > 0 AND plane_id BETWEEN {bi * band_bits} AND"
+        f" {(bi + 1) * band_bits - 1} THEN 1::BIGINT << (plane_id - {bi * band_bits})"
+        f" ELSE 0 END)::BIGINT AS band_key FROM dots GROUP BY vec_id"
+        for bi in range(n_bands)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planes(plane_id, vals) AS (VALUES
+  {_planes_values_sql(planes)}
+), ev AS (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+), pv AS (
+  SELECT plane_id, unnest(vals) AS y, generate_subscripts(vals, 1) AS i FROM planes
+), dots AS (
+  SELECT vec_id, plane_id, SUM(x * y) AS d
+  FROM ev JOIN pv USING (i) GROUP BY vec_id, plane_id
+), bands AS (
+  {bands_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+), flat AS (
+  SELECT c.id_a, c.id_b, unnest(ea.v) AS x, unnest(eb.v) AS y
+  FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+), agg AS (
+  SELECT id_a, id_b,
+         SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS cos
+  FROM flat GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(cos, 5) AS cos_sim
+FROM agg WHERE cos >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def driver_queries():
     return {
         "ann_cosine_topk": lambda s, d: cosine_topk(_emb(s, d), 0, 10),
         "knn_self_join": lambda s, d: knn_self_join(_emb(s, d), 20, 1),
-        "ann_lsh_topk": lambda s, d: lsh_ann_topk(_emb(s, d), 0, 10),  # rows-only
+        "ann_lsh_topk": lambda s, d: lsh_ann_topk(_emb(s, d), 0, 10),
+        # near-dup at a low threshold so the banded pipeline produces
+        # NON-EMPTY deterministic pairs on the uniform fixture (the
+        # 0.99 production setting is pinned by the perturbed-copy test)
+        "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d), threshold=0.2),
     }
 
 
@@ -271,8 +382,12 @@ def driver_oracles():
     return {
         "ann_cosine_topk": cosine_topk_sql(0, 10),
         "knn_self_join": knn_self_join_sql(20, 1),
-        # ann_lsh_topk: approximate by design — no SQL oracle; recall
-        # vs cosine_topk asserted in tests/test_similarity.py
+        # full-pipeline oracle: same signatures, same hamming-radius
+        # candidates, exact rerank — value-checked despite being an
+        # approximate operator (recall floor additionally pinned in
+        # tests/test_similarity.py)
+        "ann_lsh_topk": lsh_ann_topk_sql(0, 10),
+        "embedding_near_dup": embedding_near_dup_sql(threshold=0.2),
     }
 
 
