@@ -45,35 +45,56 @@ POSTING_SCHEMA = "term_id long, doc_id long, tf int, score double"
 PHRASE_SCHEMA = "doc_id long"
 
 
-def _pruned_segments(
-    spark: SparkSession,
-    index_dir: str | Path,
-    tids: list[int],
-    n_buckets: int,
-    with_positions: bool = False,
-) -> DataFrame:
-    buckets = sorted({t % n_buckets for t in tids})
-    seg = spark.read.parquet(str(Path(index_dir) / "segments"))
-    seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
-    cols = list(KERNEL_INPUT_COLS) + ["bucket"]
-    if with_positions:
-        cols.append("pos_blob")
-    return seg.select(*cols)
+class ColdIndex:
+    """One-shot handle: every accessor re-reads from disk. The warm
+    sibling is index.engine.QueryEngine (same duck-typed surface:
+    ``meta``, ``term_rows``, ``pruned_segments``, ``tombstone_arrays``,
+    ``doc_meta_df``) — every operator in this module and in
+    operators/indexed.py accepts either, so query loops pay listing /
+    dictionary / tombstone IO once (RdbCache, SURVEY.md §4)."""
+
+    def __init__(self, spark: SparkSession, index_dir):
+        self.spark = spark
+        self.index_dir = Path(index_dir)
+        self.meta = load_meta(index_dir)
+
+    def term_rows(self, terms: list[str]) -> list[dict]:
+        return query_term_rows(self.spark, self.index_dir, terms)
+
+    def pruned_segments(self, tids: list[int], with_positions: bool = False) -> DataFrame:
+        n_buckets = self.meta["config"]["n_buckets"]
+        buckets = sorted({t % n_buckets for t in tids})
+        seg = self.spark.read.parquet(str(self.index_dir / "segments"))
+        seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+        cols = list(KERNEL_INPUT_COLS) + ["bucket"]
+        if with_positions:
+            cols.append("pos_blob")
+        return seg.select(*cols)
+
+    def tombstone_arrays(self):
+        return _load_tombstones(self.spark, self.index_dir)
+
+    def doc_meta_df(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.index_dir / "doc_meta"))
 
 
-def term_postings(
-    spark: SparkSession, index_dir: str | Path, terms: list[str]
-) -> DataFrame:
+def as_handle(spark: SparkSession, ix) -> "ColdIndex":
+    """Normalize a str/Path index dir or an already-warm handle."""
+    return ix if hasattr(ix, "pruned_segments") else ColdIndex(spark, ix)
+
+
+def term_postings(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame:
     """Decoded, generation-merged, tombstone-filtered posting rows
     (term_id, doc_id, tf, score) for the given terms — the Msg2 list
-    fetch. Terms absent from the dictionary contribute no rows."""
-    meta = load_meta(index_dir)
-    trows = query_term_rows(spark, index_dir, terms)
+    fetch. Terms absent from the dictionary contribute no rows.
+    ``index_dir`` may be a path or a warm handle (QueryEngine)."""
+    ix = as_handle(spark, index_dir)
+    trows = ix.term_rows(terms)
     if not trows:
         return spark.createDataFrame([], POSTING_SCHEMA)
     tids = sorted({int(r["term_id"]) for r in trows})
-    seg = _pruned_segments(spark, index_dir, tids, meta["config"]["n_buckets"])
-    tombstones = _load_tombstones(spark, index_dir)
+    seg = ix.pruned_segments(tids)
+    tombstones = ix.tombstone_arrays()
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -103,19 +124,15 @@ def term_postings(
     return seg.groupBy("salt", "bucket").applyInPandas(kernel, POSTING_SCHEMA)
 
 
-def term_id_map(
-    spark: SparkSession, index_dir: str | Path, terms: list[str]
-) -> dict[str, int]:
+def term_id_map(spark: SparkSession, index_dir, terms: list[str]) -> dict[str, int]:
     """term → term_id for terms present in the dictionary."""
     return {
         r["term"]: int(r["term_id"])
-        for r in query_term_rows(spark, index_dir, terms)
+        for r in as_handle(spark, index_dir).term_rows(terms)
     }
 
 
-def phrase_docs(
-    spark: SparkSession, index_dir: str | Path, words: list[str]
-) -> DataFrame:
+def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
     """doc_ids containing the words ADJACENT in order — index-backed
     phrase matching from the persisted positions (posdb positional
     keys, SURVEY.md §1.3; bigram ids, Phrases.cpp — §2.8 X4).
@@ -125,16 +142,14 @@ def phrase_docs(
     start positions survive term i iff (start + i) is an occurrence of
     word i. The per-doc loop is over docs containing ALL words (tiny);
     all array work is numpy."""
-    meta = load_meta(index_dir)
-    tmap = term_id_map(spark, index_dir, words)
+    ix = as_handle(spark, index_dir)
+    tmap = term_id_map(spark, ix, words)
     if any(w not in tmap for w in words):
         return spark.createDataFrame([], PHRASE_SCHEMA)
     word_tids = [tmap[w] for w in words]
     tids = sorted(set(word_tids))
-    seg = _pruned_segments(
-        spark, index_dir, tids, meta["config"]["n_buckets"], with_positions=True
-    )
-    tombstones = _load_tombstones(spark, index_dir)
+    seg = ix.pruned_segments(tids, with_positions=True)
+    tombstones = ix.tombstone_arrays()
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 from open_source_search_engine_spark.index import lists as L
 
 
-def _doc_meta(spark: SparkSession, index_dir: str | Path) -> DataFrame:
-    return spark.read.parquet(str(Path(index_dir) / "doc_meta"))
+def _doc_meta(spark: SparkSession, index_dir) -> DataFrame:
+    # index_dir may be a path or a warm handle (index.lists.ColdIndex /
+    # index.engine.QueryEngine) — every operator below accepts both
+    return L.as_handle(spark, index_dir).doc_meta_df()
 
 
 def field_docs(spark: SparkSession, index_dir, field: str, value: str) -> DataFrame:

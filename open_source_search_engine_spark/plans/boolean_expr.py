@@ -153,15 +153,14 @@ def evaluate_indexed(spark, index_dir, q: str) -> DataFrame:
     """Segment-store evaluation: ONE pruned scan decodes every term's
     list (index/lists.py), the tree is joins over those rows; the NOT
     universe is doc_meta (titledb), never the corpus."""
-    from pathlib import Path
-
     from open_source_search_engine_spark.index import lists as L
 
     ast = parse(q)
     terms = terms_of(ast)
+    index_dir = L.as_handle(spark, index_dir)
     tmap = L.term_id_map(spark, index_dir, terms)
     tp = L.term_postings(spark, index_dir, terms).select("term_id", "doc_id").persist()
-    universe = spark.read.parquet(str(Path(index_dir) / "doc_meta")).select("doc_id")
+    universe = index_dir.doc_meta_df().select("doc_id")
     empty = spark.createDataFrame([], "doc_id long")
 
     def term_set(t: str) -> DataFrame:

@@ -136,17 +136,13 @@ def execute_indexed(
     PAIR (each pair must be adjacent somewhere in the doc), exactly
     mirroring ``execute`` and ``sql`` — not the stricter full-chain
     n-gram (that is ``index.lists.phrase_docs`` with all words)."""
-    from pathlib import Path
-
     from open_source_search_engine_spark.index import lists as L
     from open_source_search_engine_spark.operators import indexed as X
 
-    from open_source_search_engine_spark.index.builder import load_meta
-
     pq = parse(q)
-    meta = load_meta(index_dir)
-    indexed_fields = set(meta.get("index_fields", []))
-    dm = spark.read.parquet(str(Path(index_dir) / "doc_meta"))
+    index_dir = L.as_handle(spark, index_dir)
+    indexed_fields = set(index_dir.meta.get("index_fields", []))
+    dm = index_dir.doc_meta_df()
     candidate = None
     for f, v in pq.filters.items():
         if f in indexed_fields:

@@ -33,3 +33,46 @@ def test_engine_matches_wand(spark, eng_index):
             pd.testing.assert_frame_equal(a, b), (terms, mode)
     finally:
         eng.close()
+
+
+def test_engine_warm_operator_surface(spark, tiny_corpus, tmp_path_factory):
+    """The warm handle serves the full indexed operator surface with
+    answers identical to the cold path."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.index import builder, lists
+    from open_source_search_engine_spark.operators import indexed
+    from open_source_search_engine_spark.plans import boolean_expr, query_language
+
+    d = tmp_path_factory.mktemp("engidx_warm") / "idx"
+    builder.build_index(
+        spark,
+        tiny_corpus.withColumn("n_chars", F.length("content")),
+        d,
+        cfg=TEST_CFG,
+        text_col="content",
+        tokenizer_mode="code",
+        extra_meta_cols=["lang", "repo", "n_chars"],
+        index_fields=["lang"],
+    )
+    eng = QueryEngine(spark, d)
+    try:
+        cold = indexed.facet_counts(spark, d, ["index"], "lang").collect()
+        warm = eng.facets(["index"], "lang").collect()
+        assert warm == cold
+
+        cold = lists.phrase_docs(spark, d, ["index", "merge"]).orderBy("doc_id").collect()
+        warm = eng.phrase(["index", "merge"]).orderBy("doc_id").collect()
+        assert warm == cold
+
+        q = "index +merge lang:py"
+        cold = query_language.execute_indexed(spark, d, q, k=5).collect()
+        warm = eng.query(q, k=5).collect()
+        assert warm == cold
+
+        e = "(index OR merge) AND NOT hash"
+        cold = boolean_expr.evaluate_indexed(spark, d, e).collect()
+        warm = eng.boolean(e).collect()
+        assert warm == cold
+    finally:
+        eng.close()
