@@ -66,14 +66,18 @@ def main() -> None:
     # worker, JIT-warms codegen — the steady state of a long-lived
     # cluster's executors), then median of 3 timed builds (this VM has
     # a noisy co-tenant; single-shot timings swing ±40%) ---
+    META_COLS = ["lang", "source", "n_chars"]
     builder.build_index(
-        spark, docs.limit(500), tmp / "warm", cfg=cfg, text_col="text"
+        spark, docs.limit(500), tmp / "warm", cfg=cfg, text_col="text",
+        extra_meta_cols=META_COLS,
     )
     builds = []
     for i in range(3):
         idx = tmp / f"idx{i}"
         t0 = time.perf_counter()
-        builder.build_index(spark, docs, idx, cfg=cfg, text_col="text")
+        builder.build_index(
+            spark, docs, idx, cfg=cfg, text_col="text", extra_meta_cols=META_COLS
+        )
         builds.append(time.perf_counter() - t0)
     timings["index_build"] = round(statistics.median(builds), 3)
 
@@ -91,6 +95,51 @@ def main() -> None:
         lats.append(statistics.median(reps))
     timings["wand_topk_p50"] = round(statistics.median(lats), 3)
     timings["wand_topk_total"] = round(sum(lats), 3)
+
+    # --- warm query-loop path (QueryEngine: persisted term_dict +
+    # cached listings — the RdbCache analog the reference serves
+    # repeated queries from) ---
+    from open_source_search_engine_spark.index.engine import QueryEngine
+
+    eng = QueryEngine(spark, idx)
+    eng.topk(["join"], k=10).collect()
+    wlats = []
+    for terms, mode in PINNED_QUERIES:
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.topk(terms, k=10, mode=mode).collect()
+            reps.append(time.perf_counter() - t0)
+        wlats.append(statistics.median(reps))
+    timings["engine_warm_topk_p50"] = round(statistics.median(wlats), 3)
+
+    # --- index-backed operator paths (everything from the segment
+    # store: facets, query language, nested boolean — VERDICT r01 #1) ---
+    from open_source_search_engine_spark.operators import indexed
+    from open_source_search_engine_spark.plans import boolean_expr, query_language
+
+    idx_ops = {
+        "facets_lang_indexed": lambda: indexed.facet_counts(
+            spark, eng, ["dup"], "lang"
+        ).collect(),
+        "qlang_indexed": lambda: query_language.execute_indexed(
+            spark, eng, "join +hash -dup", k=10
+        ).collect(),
+        "bool_expr_indexed": lambda: boolean_expr.evaluate_indexed(
+            spark, eng, "(join OR hash) AND NOT (dup OR key)"
+        ).collect(),
+        "phrase_indexed": lambda: indexed.phrase_bigram(
+            spark, eng, "join", "hash"
+        ).collect(),
+    }
+    for name, fn in idx_ops.items():
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(reps), 3)
+    eng.close()
 
     # --- DataFrame-algebra operator paths (driver-checked queries) ---
     qs = queries()
