@@ -49,3 +49,50 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert any(d >= 180 for d in set(got2["doc_id"]))
     # wave-1 docs still present (checkpoint did not reprocess or lose)
     assert seen <= set(got2["doc_id"])
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: a hash admitted in batch 1 is
+    dropped in batch 2; within a batch the lowest doc_id survives."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    from open_source_search_engine_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    w1 = pd.DataFrame(
+        {"doc_id": [3, 1, 2], "text": ["aaa", "aaa", "bbb"]}
+    )
+    w2 = pd.DataFrame(
+        {"doc_id": [10, 11, 12], "text": ["aaa", "ccc", "bbb"]}
+    )
+    schema = spark.createDataFrame(w1).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(w1).write.mode("append").parquet(str(src))
+    drain()
+    got1 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    # 'aaa' survives once (doc 1 < doc 3), 'bbb' once (doc 2)
+    assert got1 == {1, 2}
+
+    spark.createDataFrame(w2).write.mode("append").parquet(str(src))
+    drain()
+    got2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    # batch 2: 'aaa'/'bbb' already admitted → only 'ccc' (doc 11)
+    assert got2 == {1, 2, 11}
