@@ -23,7 +23,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
-from open_source_search_engine_spark.operators import anchors, dedup, multimodal, similarity, textstats
+from open_source_search_engine_spark.operators import anchors, dedup, multimodal, proximity, similarity, textstats
 from open_source_search_engine_spark.operators.postings import doc_tokens
 from open_source_search_engine_spark.operators.stats import doc_meta
 from open_source_search_engine_spark.plans import oracle_sql as osql
@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_sitecap_indexed": _idx_q("topk_sitecap", terms=FLAGSHIP_TERMS, k=10, cap=2),
         "pagination_indexed": _idx_q("paginate", terms=FLAGSHIP_TERMS, offset=10, limit=10),
         "phrase_bigram_indexed": _idx_q("phrase_bigram", w1="join", w2="hash"),
+        # full-chain n-gram phrase (strict: consecutive positions for
+        # ALL words — stronger than the pairwise constraint qlang uses)
+        "phrase_trigram_indexed": lambda s, d: _trigram_q(s, d),
         "bm25_topk_indexed": _idx_q("bm25_topk", terms=FLAGSHIP_TERMS, k=10, mode="and"),
         "bm25_lang_filter_indexed": _idx_q(
             "bm25_topk_field", terms=FLAGSHIP_TERMS, field="lang", value="en", k=10
@@ -162,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     q.update(anchors.driver_queries())
+    q.update(proximity.driver_queries())
     q.update(dedup.driver_queries())
     q.update(multimodal.driver_queries())
     q.update(similarity.driver_queries())
@@ -202,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_sitecap_indexed": osql.topk_sitecap_sql(FLAGSHIP_TERMS, k=10, cap=2),
         "pagination_indexed": osql.pagination_sql(FLAGSHIP_TERMS, offset=10, limit=10),
         "phrase_bigram_indexed": osql.phrase_bigram_sql("join", "hash"),
+        "phrase_trigram_indexed": _trigram_sql(TRIGRAM),
         "bm25_topk_indexed": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "bm25_lang_filter_indexed": osql.bm25_topk_sql(
             FLAGSHIP_TERMS, k=10, mode="and", lang="en"
@@ -216,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
     }
     o.update(anchors.driver_oracles())
+    o.update(proximity.driver_oracles())
     o.update(dedup.driver_oracles())
     o.update(multimodal.driver_oracles())
     o.update(similarity.driver_oracles())
@@ -227,6 +233,35 @@ QLANG_Q = "join +hash -dup lang:en"
 QLANG_PHRASE_Q = '"join hash" scan'
 BOOL_Q1 = "(join OR hash) AND NOT (dup OR key)"
 BOOL_Q2 = "(scan AND key) OR (merge AND NOT dup)"
+TRIGRAM = ["stream", "table", "hash"]
+
+
+def _trigram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.index import lists
+
+    return lists.phrase_docs(
+        spark, _segment_index(spark, sf_dir), TRIGRAM
+    ).orderBy("doc_id")
+
+
+def _trigram_sql(words: list[str]) -> str:
+    joins = []
+    for i, w in enumerate(words[1:], start=1):
+        ww = w.replace("'", "''")
+        joins.append(
+            f"JOIN (SELECT doc_id, pos FROM ptoks WHERE term = '{ww}') t{i}\n"
+            f"  ON t0.doc_id = t{i}.doc_id AND t{i}.pos = t0.pos + {i}"
+        )
+    w0 = words[0].replace("'", "''")
+    return f"""WITH ptoks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+)
+SELECT DISTINCT t0.doc_id
+FROM (SELECT doc_id, pos FROM ptoks WHERE term = '{w0}') t0
+{chr(10).join(joins)}
+ORDER BY t0.doc_id"""
 
 
 def _bool_q(spark: SparkSession, sf_dir: str, q: str, use_index: bool) -> DataFrame:

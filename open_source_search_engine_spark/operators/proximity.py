@@ -1,0 +1,225 @@
+"""Proximity-boosted ranking — the positional half of the reference's
+scorer, now expressible because positions are persisted index-side.
+
+Gigablast's ranking is fundamentally positional: PosdbTable computes
+term-pair proximity ("hash group" / wiki-phrase weights over posdb key
+positions, Posdb.cpp intersectLists10_r — SURVEY.md §2.4/§4). The
+graft pins textbook BM25 as the rank-identity oracle, so proximity is
+offered as a PINNED, SQL-expressible boost on top of it:
+
+    mindist(d)  = min over (p1 in pos(t_i, d), p2 in pos(t_j, d)),
+                  i < j, of |p1 - p2|            (closest query-term pair)
+    score(d)    = bm25(d) * (1 + W / (1 + mindist(d)))   W = 0.25
+
+Two implementations + one oracle, all hash-identical:
+
+    proximity_topk          corpus algebra (positional self-join)
+    proximity_topk_indexed  segment store (persisted scores + pos_blob
+                            decoded in a per-salt kernel)
+    proximity_topk_sql      DuckDB mirror
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.config import EngineConfig
+from open_source_search_engine_spark.operators import bm25
+from open_source_search_engine_spark.operators.postings import doc_tokens
+from open_source_search_engine_spark.plans.oracle_sql import BM25_PARAMS, _terms_list
+
+PROX_W = 0.25
+
+
+def _prox_factor(mindist: F.Column) -> F.Column:
+    return F.lit(1.0) + F.lit(PROX_W) / (F.lit(1.0) + mindist.cast("double"))
+
+
+def proximity_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    cfg: EngineConfig = EngineConfig(),
+    text_col: str = "text",
+    tokenizer_mode: str = "simple",
+) -> DataFrame:
+    """BM25 × proximity top-k, corpus-algebra path (AND semantics).
+    The pair-distance join is per-doc and bounded by tf_i × tf_j —
+    the same term-pair scan PosdbTable does, as a co-partitioned
+    self-join Catalyst plans on doc_id."""
+    ts = sorted(set(terms))
+    scored = bm25.bm25_scores(
+        docs, ts, mode="and", cfg=cfg, text_col=text_col,
+        tokenizer_mode=tokenizer_mode,
+    )
+    toks = doc_tokens(docs, text_col, mode=tokenizer_mode).filter(
+        F.col("term").isin(ts)
+    )
+    a = toks.select("doc_id", F.col("term").alias("t1"), F.col("pos").alias("p1"))
+    b = toks.select("doc_id", F.col("term").alias("t2"), F.col("pos").alias("p2"))
+    dists = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("p1") - F.col("p2"))).alias("mindist"))
+    )
+    out = scored.join(dists, "doc_id").withColumn(
+        "_boosted", F.col("_score") * _prox_factor(F.col("mindist"))
+    )
+    return (
+        out.orderBy(F.desc("_boosted"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("_boosted", 5).alias("score"))
+    )
+
+
+def proximity_topk_indexed(
+    spark: SparkSession, index_dir, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Same semantics entirely from the segment store: per-salt kernel
+    decodes the query terms' lists WITH positions, computes each
+    matching doc's BM25 sum (persisted per-posting scores) and the
+    min pair distance, and emits local candidates; driver merge takes
+    the global top-k."""
+    from open_source_search_engine_spark.index import lists as L
+
+    ts = sorted(set(terms))
+    ix = L.as_handle(spark, index_dir)
+    tmap = L.term_id_map(spark, ix, ts)
+    if len(tmap) < len(ts):
+        return spark.createDataFrame([], "doc_id long, score double")
+    tids = sorted(tmap.values())
+    seg = ix.pruned_segments(tids, with_positions=True)
+    tombstones = ix.tombstone_arrays()
+    n_q = len(tids)
+
+    from open_source_search_engine_spark.index.segments import decode_blocks
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = {}
+        for tid, rows in pdf.groupby("term_id"):
+            per_term[int(tid)] = decode_blocks(
+                rows, tombstones=tombstones, with_positions=True
+            )
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        if len(per_term) < n_q:
+            return empty
+        # intersect doc sets (AND)
+        cand = per_term[tids[0]][0]
+        for t in tids[1:]:
+            docs_t = per_term[t][0]
+            if docs_t.size == 0 or cand.size == 0:
+                return empty
+            posn = np.searchsorted(docs_t, cand)
+            posn = np.minimum(posn, docs_t.size - 1)
+            cand = cand[docs_t[posn] == cand]
+        if cand.size == 0:
+            return empty
+        total = np.zeros(cand.size, dtype=np.float64)
+        mindist = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+        pos_of = {}
+        for t in tids:
+            docs_t, _tf, scores_t, poss_t = per_term[t]
+            j = np.searchsorted(docs_t, cand)
+            total += scores_t[j]
+            pos_of[t] = poss_t[j]
+        for i1 in range(n_q):
+            for i2 in range(i1 + 1, n_q):
+                pa_, pb_ = pos_of[tids[i1]], pos_of[tids[i2]]
+                for c in range(cand.size):
+                    p1, p2 = pa_[c], pb_[c]
+                    # min |p1-p2| via merge of two sorted arrays
+                    jj = np.searchsorted(p1, p2)
+                    best = mindist[c]
+                    lo = np.maximum(jj - 1, 0)
+                    hi = np.minimum(jj, p1.size - 1)
+                    d = np.minimum(
+                        np.abs(p1[lo] - p2), np.abs(p1[hi] - p2)
+                    ).min()
+                    if d < best:
+                        mindist[c] = d
+        boosted = total * (1.0 + PROX_W / (1.0 + mindist.astype(np.float64)))
+        order = np.lexsort((cand, -boosted))[:k]
+        return pd.DataFrame({"doc_id": cand[order], "score": boosted[order]})
+
+    local = seg.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
+    return (
+        local.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 5).alias("score"))
+    )
+
+
+def proximity_topk_sql(terms: list[str], k: int = 10) -> str:
+    tl = _terms_list(terms)
+    n_terms = len(set(terms))
+    p = BM25_PARAMS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+), toks_f AS (
+  SELECT doc_id, term, pos FROM toks WHERE term <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS doc_len FROM toks_f GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, AVG(doc_len)::DOUBLE AS avgdl FROM dl
+), q_df AS (
+  SELECT term, COUNT(*)::DOUBLE AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks_f WHERE term IN ({tl}))
+  GROUP BY term
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks_f WHERE term IN ({tl}) GROUP BY doc_id, term
+), agg AS (
+  SELECT tf.doc_id,
+         SUM( ln((stats.n_docs - q_df.df + 0.5)/(q_df.df + 0.5) + 1.0)
+              * tf.tf * ({p['k1']} + 1.0)
+              / (tf.tf + {p['k1']} * (1.0 - {p['b']}
+                    + {p['b']} * dl.doc_len / stats.avgdl)) ) AS s
+  FROM tf JOIN q_df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id HAVING COUNT(*) = {n_terms}
+), dists AS (
+  SELECT a.doc_id, MIN(ABS(a.pos - b.pos))::BIGINT AS mindist
+  FROM (SELECT doc_id, term, pos FROM toks_f WHERE term IN ({tl})) a
+  JOIN (SELECT doc_id, term, pos FROM toks_f WHERE term IN ({tl})) b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.doc_id
+), boosted AS (
+  SELECT agg.doc_id, agg.s * (1.0 + {PROX_W} / (1.0 + dists.mindist)) AS b
+  FROM agg JOIN dists ON agg.doc_id = dists.doc_id
+)
+SELECT doc_id, ROUND(b, 5) AS score
+FROM boosted ORDER BY b DESC, doc_id ASC LIMIT {k}"""
+
+
+def driver_queries():
+    return {
+        "proximity_topk": lambda s, d: proximity_topk(
+            _docs(s, d), ["join", "hash"], k=10
+        ),
+        "proximity_topk_indexed": lambda s, d: _indexed(s, d),
+    }
+
+
+def _indexed(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    return proximity_topk_indexed(
+        spark, entry._segment_index(spark, sf_dir), ["join", "hash"], k=10
+    )
+
+
+def driver_oracles():
+    sql = proximity_topk_sql(["join", "hash"], k=10)
+    return {"proximity_topk": sql, "proximity_topk_indexed": sql}
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

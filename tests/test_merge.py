@@ -95,3 +95,39 @@ def test_delete_and_update(spark, corpora, tmp_path):
     want = _oracle(live, ["def", "return"], k=20)
     assert list(after["doc_id"]) == list(want["doc_id"])
     assert after["score"].tolist() == pytest.approx(want["score"].tolist(), abs=1e-5)
+
+
+def test_positions_survive_add_and_compact(spark, corpora, tmp_path):
+    """Phrase matching (persisted pos_blob) must give identical answers
+    across generations AND after compaction — the self-contained
+    per-posting position streams re-slice correctly through the whole
+    LSM lifecycle."""
+    from open_source_search_engine_spark.index import lists
+    from open_source_search_engine_spark.operators import phrase as phrase_ops
+
+    base, extra, full = corpora
+    d = tmp_path / "idx_pos"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+
+    pairs = [("index", "merge"), ("def", "index"), ("scan", "scan")]
+
+    def want(w1, w2):
+        return [
+            r["doc_id"]
+            for r in phrase_ops.phrase_bigram(
+                full.withColumnRenamed("content", "text"), w1, w2,
+                tokenizer_mode="code",
+            ).collect()
+        ]
+
+    for w1, w2 in pairs:
+        got = [r["doc_id"] for r in lists.phrase_docs(spark, d, [w1, w2]).orderBy("doc_id").collect()]
+        assert got == want(w1, w2), ("multi-gen", w1, w2)
+
+    merge.compact(spark, d)
+    for w1, w2 in pairs:
+        got = [r["doc_id"] for r in lists.phrase_docs(spark, d, [w1, w2]).orderBy("doc_id").collect()]
+        assert got == want(w1, w2), ("post-compact", w1, w2)
