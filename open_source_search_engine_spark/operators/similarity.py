@@ -366,6 +366,110 @@ FROM agg WHERE cos >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
+def ivf_ann_topk(
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → probe the query's nearest
+    cells → exact rerank. Centroids are the first ``n_centroids``
+    stored vectors (deterministic, no trained model to persist — at
+    scale you'd swap in k-means centroids; the PLAN is identical:
+    broadcast centroids, one scan to assign, per-cell candidate read).
+
+    Scale shape: assignment is a broadcast join + argmax (one scan);
+    at 10^12 rows the assignment is precomputed as a `cell` column and
+    the probe becomes a partition-pruned read of n_probe cells —
+    candidates ~ n_probe/n_centroids of the table instead of all of
+    it. Recall/latency dial = n_probe."""
+    e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
+    cents = e.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+    # assign every vector to its max-cosine centroid (broadcast + window)
+    simc = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        simc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("cent_id").alias("cell"))
+    )
+    # the query's n_probe nearest cells
+    q = e.filter(F.col(id_col) == query_vec_id).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "qsim",
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+        )
+        .orderBy(F.desc("qsim"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    cands = assign.join(
+        F.broadcast(probe.withColumnRenamed("cent_id", "cell")), "cell", "left_semi"
+    )
+    scored = cands.crossJoin(F.broadcast(q)).withColumn(
+        "cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 5).alias("cos_sim"))
+    )
+
+
+def ivf_ann_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+) -> str:
+    """Full-pipeline DuckDB mirror of ``ivf_ann_topk`` (same cells,
+    same probes, exact rerank)."""
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids}
+), pairs AS (
+  SELECT e.vec_id, c.cent_id,
+         list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+  FROM e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS rn
+    FROM pairs) WHERE rn = 1
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}
+), probe AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           list_dot_product(c.cv, q.qv) / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS qsim
+    FROM cents c CROSS JOIN q
+    ORDER BY qsim DESC, cent_id ASC LIMIT {n_probe})
+), cand AS (
+  SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cent_id
+), scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e JOIN cand USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, ROUND(cos, 5) AS cos_sim
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
 def driver_queries():
     return {
         "ann_cosine_topk": lambda s, d: cosine_topk(_emb(s, d), 0, 10),
@@ -375,6 +479,7 @@ def driver_queries():
         # NON-EMPTY deterministic pairs on the uniform fixture (the
         # 0.99 production setting is pinned by the perturbed-copy test)
         "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d), threshold=0.2),
+        "ann_ivf_topk": lambda s, d: ivf_ann_topk(_emb(s, d), 0, 10),
     }
 
 
@@ -388,6 +493,7 @@ def driver_oracles():
         # tests/test_similarity.py)
         "ann_lsh_topk": lsh_ann_topk_sql(0, 10),
         "embedding_near_dup": embedding_near_dup_sql(threshold=0.2),
+        "ann_ivf_topk": ivf_ann_topk_sql(0, 10),
     }
 
 

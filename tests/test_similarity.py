@@ -77,3 +77,21 @@ def test_embedding_near_dup_recall(embs, spark):
     assert all(r["cos_sim"] >= 0.99 for r in got)  # precision
     found = len(got_pairs & want_pairs)
     assert found / len(want_pairs) >= 0.9, f"recall {found}/100"
+
+
+def test_ivf_ann_recall_vs_exact(embs):
+    """recall@10 of ivf_ann_topk (4/16 probes) vs exact ≥ 0.7 on the
+    fixture (measured ~0.92); returned scores must be exact cosines."""
+    recalls = []
+    for qid in (0, 1, 2, 3, 4):
+        exact = {r["vec_id"] for r in S.cosine_topk(embs, qid, 10).collect()}
+        approx = {r["vec_id"] for r in S.ivf_ann_topk(embs, qid, 10).collect()}
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    approx = {r["vec_id"]: r["cos_sim"] for r in S.ivf_ann_topk(embs, 0, 10).collect()}
+    exact_all = {
+        r["vec_id"]: r["cos_sim"] for r in S.cosine_topk(embs, 0, k=10_000).collect()
+    }
+    for vid, cos in approx.items():
+        assert abs(exact_all[vid] - cos) < 1e-9
