@@ -23,7 +23,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
-from open_source_search_engine_spark.operators import anchors, dedup, multimodal, proximity, similarity, textstats
+from open_source_search_engine_spark.operators import anchors, dedup, events, multimodal, proximity, similarity, textstats
 from open_source_search_engine_spark.operators.postings import doc_tokens
 from open_source_search_engine_spark.operators.stats import doc_meta
 from open_source_search_engine_spark.plans import oracle_sql as osql
@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     }
     q.update(anchors.driver_queries())
+    q.update(events.driver_queries())
     q.update(proximity.driver_queries())
     q.update(dedup.driver_queries())
     q.update(multimodal.driver_queries())
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
     }
     o.update(anchors.driver_oracles())
+    o.update(events.driver_oracles())
     o.update(proximity.driver_oracles())
     o.update(dedup.driver_oracles())
     o.update(multimodal.driver_oracles())

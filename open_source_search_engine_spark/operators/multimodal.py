@@ -64,6 +64,31 @@ def frame_sample(
     ).orderBy(id_col, "frame_idx")
 
 
+THUMB_BYTES = 8
+THUMB_STRIDE = 4
+
+
+def byte_thumbnail(
+    media: DataFrame,
+    n_out: int = THUMB_BYTES,
+    stride: int = THUMB_STRIDE,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Decode-free 'resize': sample every ``stride``-th byte of the
+    blob into an ``n_out``-byte thumbnail — the downsampling PLUMBING
+    (schema, stride math, codegen column ops) a real image resize
+    slots into once codecs exist (decode_image stub). Positions past
+    the blob end contribute nothing (short blobs give short thumbs),
+    mirroring substr semantics in both engines."""
+    parts = [
+        F.substring(F.col(blob_col), 1 + j * stride, 1) for j in range(n_out)
+    ]
+    return media.select(
+        F.col(id_col), F.concat(*parts).alias("thumb")
+    ).orderBy(id_col)
+
+
 def decode_image(media: DataFrame, blob_col: str = "blob") -> DataFrame:
     """STUB — real image decode needs PIL/opencv, absent in this
     container. The mapInPandas shape below is the production plumbing;
@@ -118,6 +143,8 @@ def driver_queries():
         "multimodal_blob_meta": lambda s, d: blob_meta(_media(s, d)),
         "multimodal_frame_sample": lambda s, d: frame_sample(_media(s, d), every=2)
         .withColumn("frame", F.decode(F.col("frame"), "utf-8")),
+        "multimodal_thumbnail": lambda s, d: byte_thumbnail(_media(s, d))
+        .withColumn("thumb", F.decode(F.col("thumb"), "utf-8")),
         # exploded (media_id, dim_idx, value): driver-hashable (the
         # raw array<float> column broke the driver's canonical sort),
         # and — because the fixture text is pure ASCII — expressible in
@@ -152,6 +179,10 @@ SELECT media_id, frame_idx,
        substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
 FROM f WHERE frame_idx % 2 = 0
 ORDER BY media_id, frame_idx""",
+        "multimodal_thumbnail": f"""
+SELECT doc_id AS media_id,
+       {" || ".join(f"substr(text, {1 + j * THUMB_STRIDE}, 1)" for j in range(THUMB_BYTES))} AS thumb
+FROM documents ORDER BY media_id""",
         # fake-decoder oracle: blob byte i of the utf-8-encoded text ==
         # ord(char i) because the fixture is pure ASCII (verified:
         # text == encode(text) for every row); float32/255 rounds to

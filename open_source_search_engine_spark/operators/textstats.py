@@ -80,6 +80,42 @@ SELECT doc_id,
 FROM toks_f GROUP BY doc_id ORDER BY doc_id"""
 
 
+BPE_RE = "[a-z]{1,3}|[0-9]|[^a-z0-9 ]"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens) — whitespace token count plus
+    a BPE-ish subword count (greedy ≤3-char alpha chunks, digits,
+    punctuation — the cheap proxy a data pipeline budgets LLM token
+    costs with). regexp_extract_all is JVM-side codegen; the identical
+    regex runs in DuckDB for the oracle."""
+    toks = doc_tokens(docs)
+    ws = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    bpe = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)
+        ).cast("bigint").alias("n_bpe_tokens"),
+    )
+    return (
+        bpe.join(ws, "doc_id", "left")
+        .fillna({"n_tokens": 0})
+        .select("doc_id", "n_tokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def token_counts_bpe_sql() -> str:
+    return f"""{_TOKS_SQL}, ws AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM toks_f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ws.n_tokens, 0)::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(d.text), '{BPE_RE}'))::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id
+ORDER BY d.doc_id"""
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp_md5, fp_shingle_min) — whole-doc content fingerprint
     plus a shingle-min fingerprint (the rolling-hash/winnowing analog:
@@ -210,6 +246,7 @@ ORDER BY v.doc_id"""
 def driver_queries():
     return {
         "token_counts": lambda s, d: token_counts(_docs(s, d)),
+        "token_counts_bpe": lambda s, d: token_counts_bpe(_docs(s, d)),
         "text_quality": lambda s, d: text_quality(_docs(s, d)),
         "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         "lang_id_heuristic": lambda s, d: lang_id(_docs(s, d)),
@@ -219,6 +256,7 @@ def driver_queries():
 def driver_oracles():
     return {
         "token_counts": token_counts_sql(),
+        "token_counts_bpe": token_counts_bpe_sql(),
         "text_quality": text_quality_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
         "lang_id_heuristic": lang_id_sql(),

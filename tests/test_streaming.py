@@ -96,3 +96,70 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
     # batch 2: 'aaa'/'bbb' already admitted → only 'ccc' (doc 11)
     assert got2 == {1, 2, 11}
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """Event-time windowed agg with watermark: in append mode a window
+    emits once its end passes the watermark; a late row older than the
+    watermark is dropped."""
+    import pandas as pd
+
+    from open_source_search_engine_spark.operators.events import (
+        streaming_windowed_counts,
+    )
+
+    src = tmp_path / "ev"
+    out = tmp_path / "evout"
+    ckpt = tmp_path / "evckpt"
+    src.mkdir()
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_type": [r[1] for r in rows],
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+
+    w1 = mk([("2024-01-01 00:10", "click", 1), ("2024-01-01 00:40", "click", 2),
+             ("2024-01-01 01:10", "view", 3)])
+    # wave 2 advances event time far enough (watermark 2h) to close the
+    # 00:00 and 01:00 windows
+    w2 = mk([("2024-01-01 06:00", "click", 4)])
+    # wave 3 delivers a LATE row: the watermark is now 04:00 (06:00 -
+    # 2h, set at the END of the previous batch), so 00:20 is dropped
+    w3 = mk([("2024-01-01 00:20", "click", 99), ("2024-01-01 06:30", "view", 5)])
+    schema = spark.createDataFrame(w1).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_windowed_counts(stream, window="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for wave in (w1, w2, w3):
+        spark.createDataFrame(wave).write.mode("append").parquet(str(src))
+        drain()
+    collected = spark.read.parquet(str(out)).collect()
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in collected
+    }
+    # closed windows emitted with their on-time counts; the late 00:20
+    # row (value 99) was dropped — the 00:00 click window stays (2, 3.0)
+    # and was emitted exactly once
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+    assert (
+        sum(1 for r in collected if str(r["window_start"]).startswith("2024-01-01 00:00")) == 1
+    )
+    # the 06:00 window is still open (watermark = 06:30 - 2h) → absent
+    assert ("2024-01-01 06:00:00", "click") not in rows
