@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- presentation (SURVEY §2.9 P1-P3) + direct lookup (§3.3) ---
         "search_snippets": lambda s, d: _snippets_q(s, d),
+        "search_snippets_indexed": lambda s, d: _snippets_idx_q(s, d),
         "doc_lookup": lambda s, d: _doc_lookup_q(s, d),
         # --- query-language front end (Query.cpp set2; §2.2 F1-F5) ---
         "query_language": lambda s, d: _qlang_q(s, d),
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, k=10, mode="and", lang="en"
         ),
         "search_snippets": osql.snippets_sql(FLAGSHIP_TERMS, k=10, mode="and"),
+        "search_snippets_indexed": osql.snippets_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "doc_lookup": osql.doc_lookup_sql(42),
         "query_language": _qlang_sql(QLANG_Q),
         "query_language_phrase": _qlang_sql(QLANG_PHRASE_Q),
@@ -284,6 +286,14 @@ def _snippets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_source_search_engine_spark.operators import snippets
 
     return snippets.search_with_snippets(_docs(spark, sf_dir), FLAGSHIP_TERMS, k=10)
+
+
+def _snippets_idx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.operators import snippets
+
+    return snippets.search_with_snippets_indexed(
+        spark, _segment_index(spark, sf_dir), _docs(spark, sf_dir), FLAGSHIP_TERMS, k=10
+    )
 
 
 def _doc_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,6 +74,35 @@ def search_with_snippets(
     )
 
 
+def search_with_snippets_indexed(
+    spark,
+    index_dir,
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Same lifecycle with the SCORING leg from the segment store
+    (WAND top-k): the corpus is touched only by the ≤k-row broadcast
+    join for snippet extraction — the Msg20 summary fetch against
+    titledb, which in our engine IS the source table."""
+    from open_source_search_engine_spark.index import wand
+
+    topk = wand.wand_topk(spark, index_dir, terms, k=k, mode=mode)
+    joined = docs.join(
+        F.broadcast(topk), docs[id_col] == topk["doc_id"], "inner"
+    ).select(topk["doc_id"], topk["score"], F.col(text_col).alias("_text"))
+    snip, hl = _window_cols(F.col("_text"), terms)
+    return (
+        joined.withColumn("snippet", snip)
+        .withColumn("highlight", hl)
+        .drop("_text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def doc_lookup(docs: DataFrame, doc_id: int, id_col: str = "doc_id") -> DataFrame:
     """Direct docid lookup — the `gbdocid:` / `/get?d=` path
     (SURVEY.md §3.3; Msg22::getTitleRec). Catalyst pushes the equality
