@@ -112,6 +112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "dup", "n_chars", 100, 300
         ),
         "facets_lang": lambda s, d: facets.facet_counts(_docs(s, d), ["dup"], "lang"),
+        "facets_nchars_range": lambda s, d: facets.facet_ranges(
+            _docs(s, d), ["dup"], "n_chars", 100
+        ),
+        "facets_nchars_range_indexed": _idx_q(
+            "facet_ranges", terms=["dup"], facet_col="n_chars", bucket_width=100
+        ),
         "term_stats": lambda s, d: _term_stats_q(s, d),
         "doc_meta_invariant": lambda s, d: _doc_meta_q(s, d),
         "topk_sitecap": lambda s, d: ranking.topk_sitecap(_docs(s, d), FLAGSHIP_TERMS, k=10, cap=2),
@@ -186,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "not_exclude": osql.not_exclude_sql("dup", "join"),
         "numeric_range": osql.numeric_range_sql("dup", 100, 300),
         "facets_lang": osql.facets_sql(["dup"], "lang"),
+        "facets_nchars_range": osql.facets_range_sql(["dup"], "n_chars", 100),
+        "facets_nchars_range_indexed": osql.facets_range_sql(["dup"], "n_chars", 100),
         "term_stats": osql.term_stats_sql(),
         "doc_meta_invariant": osql.doc_meta_sql(),
         "topk_sitecap": osql.topk_sitecap_sql(FLAGSHIP_TERMS, k=10, cap=2),

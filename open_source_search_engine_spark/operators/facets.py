@@ -27,3 +27,23 @@ def facet_counts(
         .agg(F.count(F.lit(1)).alias("facet_count"))
         .orderBy("facet_value")
     )
+
+
+def facet_ranges(
+    docs: DataFrame,
+    terms: list[str],
+    facet_col: str = "n_chars",
+    bucket_width: int = 100,
+    tokenizer_mode: str = "simple",
+) -> DataFrame:
+    """Numeric range facets (gbfacetint with bucketing — SURVEY §2.4
+    A5, reference FacetEntry int ranges): match set histogrammed into
+    fixed-width buckets of ``facet_col``. (bucket_lo, facet_count)."""
+    matches = or_union(docs, terms, tokenizer_mode)
+    lo = (F.floor(F.col(facet_col) / bucket_width) * bucket_width).cast("bigint")
+    return (
+        docs.join(matches, "doc_id", "left_semi")
+        .groupBy(lo.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .orderBy("bucket_lo")
+    )

@@ -130,6 +130,26 @@ def facet_counts(
     )
 
 
+def facet_ranges(
+    spark: SparkSession,
+    index_dir,
+    terms: list[str],
+    facet_col: str = "n_chars",
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Numeric range facets from the index (A5 int variant): match
+    from decoded lists, histogram from doc_meta."""
+    matches = or_union(spark, index_dir, terms)
+    lo = (F.floor(F.col(facet_col) / bucket_width) * bucket_width).cast("bigint")
+    return (
+        _doc_meta(spark, index_dir)
+        .join(matches, "doc_id", "left_semi")
+        .groupBy(lo.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("facet_count"))
+        .orderBy("bucket_lo")
+    )
+
+
 def scored_matches(
     spark: SparkSession,
     index_dir,

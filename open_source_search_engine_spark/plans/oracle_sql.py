@@ -120,6 +120,20 @@ WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks_f WHERE term IN ({tl}))
 GROUP BY d.{facet_col} ORDER BY facet_value"""
 
 
+def facets_range_sql(
+    terms: list[str], facet_col: str = "n_chars", bucket_width: int = 100
+) -> str:
+    """Mirror of gbfacetint with fixed-width buckets (SURVEY §2.4 A5):
+    histogram of a numeric metadata field over the (OR) match set."""
+    tl = _terms_list(terms)
+    return f"""{_PRELUDE}
+SELECT (FLOOR(d.{facet_col} / {bucket_width}) * {bucket_width})::BIGINT AS bucket_lo,
+       COUNT(*)::BIGINT AS facet_count
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks_f WHERE term IN ({tl}))
+GROUP BY 1 ORDER BY bucket_lo"""
+
+
 def term_stats_sql(min_df: int = 1) -> str:
     """Mirror of operators.stats.term_stats (df per term, SURVEY §2.4 A1)."""
     return f"""{_PRELUDE}
