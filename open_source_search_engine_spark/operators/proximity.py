@@ -89,7 +89,9 @@ def proximity_topk_indexed(
     ts = sorted(set(terms))
     ix = L.as_handle(spark, index_dir)
     tmap = L.term_id_map(spark, ix, ts)
-    if len(tmap) < len(ts):
+    # proximity needs ≥2 distinct present terms (mindist is a PAIR
+    # distance; the corpus path and oracle drop all rows otherwise)
+    if len(tmap) < len(ts) or len(ts) < 2:
         return spark.createDataFrame([], "doc_id long, score double")
     tids = sorted(tmap.values())
     seg = ix.pruned_segments(tids, with_positions=True)
