@@ -70,8 +70,15 @@ def _salt_col(doc_id: F.Column, max_doc_id: int, n_salts: int) -> F.Column:
     ).alias("salt")
 
 
-def load_meta(index_dir: str | Path) -> dict:
-    _recover_term_dict(Path(index_dir))
+def load_meta(index_dir: str | Path, recover: bool = False) -> dict:
+    """Read meta.json. ``recover=True`` (writer paths only — the next
+    add_documents/compact/build) additionally repairs a half-finished
+    term_dict swap. Readers never mutate the index directory: a reader
+    promoting term_dict_next concurrently with a writer's two renames
+    can make the writer's rename fail, and read-only mounts would raise
+    (ADVICE r02)."""
+    if recover:
+        _recover_term_dict(Path(index_dir))
     return json.loads((Path(index_dir) / "meta.json").read_text())
 
 
@@ -324,7 +331,7 @@ def build_index(
             fposts = fposts.unionByName(p)
         posts = posts.unionByName(fposts.withColumn("term_id", term_id_col(F.col("term"))))
     if resume and meta_path.exists() and dm_dir.exists() and td_dir.exists():
-        meta = load_meta(index_dir)
+        meta = load_meta(index_dir, recover=True)
     else:
         meta_df = sp.filter(F.col("tf") == 0).select(
             "doc_id", F.col("sha").alias("content_sha256"), "doc_len"

@@ -40,7 +40,9 @@ class QueryEngine:
         )
         self.term_dict.count()
         self.segments = self.spark.read.parquet(str(self.index_dir / "segments"))
-        self._doc_meta = self.spark.read.parquet(str(self.index_dir / "doc_meta"))
+        from open_source_search_engine_spark.index.lists import live_doc_meta
+
+        self._doc_meta = live_doc_meta(self.spark, self.index_dir, self.meta)
         self.tombstones = W._load_tombstones(self.spark, self.index_dir)
 
     def refresh(self) -> None:
@@ -65,6 +67,10 @@ class QueryEngine:
         ]
 
     def pruned_segments(self, tids: list[int], with_positions: bool = False) -> DataFrame:
+        if with_positions:
+            from open_source_search_engine_spark.index.lists import require_positions
+
+            require_positions(self.meta)
         buckets = sorted({t % self.n_buckets for t in tids})
         cols = list(W.KERNEL_INPUT_COLS) + ["bucket"]
         if with_positions:

@@ -45,6 +45,53 @@ POSTING_SCHEMA = "term_id long, doc_id long, tf int, score double"
 PHRASE_SCHEMA = "doc_id long"
 
 
+def require_positions(meta: dict) -> None:
+    """Positional ops on a store built with ``store_positions=False``
+    must fail loudly: such stores still carry pos_blob=b"" per block
+    (the encoder always materializes the column), so without this check
+    phrase/proximity queries silently return empty (ADVICE r02)."""
+    if not meta.get("config", {}).get("store_positions", True):
+        raise ValueError(
+            "index was built with store_positions=False — phrase and "
+            "proximity operators need positions; rebuild with "
+            "EngineConfig(store_positions=True)"
+        )
+
+
+def live_doc_meta(spark: SparkSession, index_dir, meta: dict) -> DataFrame:
+    """Live view of doc_meta: newest row per doc_id, minus tombstoned
+    docs — the same liveness rule compact() applies (merge.compact),
+    enforced at READ time so facets / NOT universes / metadata filters
+    stay correct between a delete/replace and the next compact (the
+    reference's Msg5 merged read applies negative keys on every list
+    read, RdbList.cpp — doc_meta is titledb here, SURVEY.md §2.1 S8).
+
+    Fresh gen-0 indexes (the common case) skip the groupBy entirely:
+    one generation and no tombstones means every row is live, so the
+    raw pruned parquet scan survives untouched."""
+    dm = spark.read.parquet(str(Path(index_dir) / "doc_meta"))
+    tdir = Path(index_dir) / "tombstones"
+    has_ts = tdir.exists() and any(tdir.glob("*.parquet"))
+    if len(meta.get("generations", [0])) <= 1 and not has_ts:
+        return dm.drop("gen")
+    extra = [c for c in dm.columns if c not in ("doc_id", "gen")]
+    dm = dm.groupBy("doc_id").agg(
+        *[F.max_by(c, "gen").alias(c) for c in extra],
+        F.max("gen").alias("gen"),
+    )
+    if has_ts:
+        ts = (
+            spark.read.parquet(str(tdir))
+            .groupBy("doc_id")
+            .agg(F.max("before_generation").alias("before_generation"))
+        )
+        dm = dm.join(F.broadcast(ts), "doc_id", "left").filter(
+            F.col("before_generation").isNull()
+            | (F.col("gen") >= F.col("before_generation"))
+        )
+    return dm.select("doc_id", *extra)
+
+
 class ColdIndex:
     """One-shot handle: every accessor re-reads from disk. The warm
     sibling is index.engine.QueryEngine (same duck-typed surface:
@@ -62,6 +109,8 @@ class ColdIndex:
         return query_term_rows(self.spark, self.index_dir, terms)
 
     def pruned_segments(self, tids: list[int], with_positions: bool = False) -> DataFrame:
+        if with_positions:
+            require_positions(self.meta)
         n_buckets = self.meta["config"]["n_buckets"]
         buckets = sorted({t % n_buckets for t in tids})
         seg = self.spark.read.parquet(str(self.index_dir / "segments"))
@@ -75,7 +124,7 @@ class ColdIndex:
         return _load_tombstones(self.spark, self.index_dir)
 
     def doc_meta_df(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.index_dir / "doc_meta"))
+        return live_doc_meta(self.spark, self.index_dir, self.meta)
 
 
 def as_handle(spark: SparkSession, ix) -> "ColdIndex":

@@ -104,7 +104,7 @@ def add_documents(
     """Index new docs as the next generation. ``replace=True`` first
     tombstones incoming doc_ids (update semantics)."""
     index_dir = Path(index_dir)
-    meta = B.load_meta(index_dir)
+    meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
     gen = max(current_generations(index_dir), default=0) + 1
     text_col, tok_mode = meta["text_col"], meta["tokenizer_mode"]
@@ -125,12 +125,49 @@ def add_documents(
 
     posts = fast_postings(
         docs, text_col, "doc_id", mode=tok_mode, stopwords=cfg.stopwords
-    ).persist()
+    )
+    # field-prefixed termlists (F3) must cover new generations too, or
+    # field-restricted queries silently miss every doc added after the
+    # base build (same composite-term hook as builder.build_index)
+    if meta.get("index_fields"):
+        from open_source_search_engine_spark.functions.hashing import term_id_col
+
+        fparts = [
+            docs.select(
+                F.concat(F.lit(f + ":"), F.col(f).cast("string")).alias("term"),
+                F.col("doc_id"),
+                F.lit(1).cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("doc_len"),
+            ).filter(F.col("term").isNotNull())
+            for f in meta["index_fields"]
+        ]
+        fposts = fparts[0]
+        for p in fparts[1:]:
+            fposts = fposts.unionByName(p)
+        fposts = fposts.withColumn("term_id", term_id_col(F.col("term")))
+        posts = posts.unionByName(fposts, allowMissingColumns=True)
+    posts = posts.persist()
     lens = posts.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+    # carry the base doc_meta's extra columns (lang, site, nchars, …):
+    # an append with a NARROWER schema makes spark.read's schema pick
+    # nondeterministic (no mergeSchema) — facets/sorts would lose the
+    # column outright after the first add_documents
+    dm_fields = [
+        f
+        for f in spark.read.parquet(str(index_dir / "doc_meta")).schema.fields
+        if f.name not in ("doc_id", "content_sha256", "doc_len", "gen")
+    ]
+    extra_exprs = [
+        (
+            F.col(f.name) if f.name in docs.columns else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in dm_fields
+    ]
     new_meta_df = (
         docs.select(
             F.col("doc_id"),
             F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"),
+            *extra_exprs,
         )
         .join(lens, "doc_id", "left")
         .fillna({"doc_len": 0})
@@ -244,7 +281,7 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
     store with exact stats. Equivalent to a from-scratch build over the
     live document set (SURVEY.md §5.5 merge test)."""
     index_dir = Path(index_dir)
-    meta = B.load_meta(index_dir)
+    meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
 
     seg = spark.read.parquet(str(index_dir / "segments"))

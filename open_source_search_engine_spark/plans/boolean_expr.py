@@ -145,8 +145,14 @@ def evaluate(
         ast,
         lambda t: td.filter(F.col("term") == t).select("doc_id"),
         universe,
-    )
-    return out.orderBy("doc_id")
+    ).orderBy("doc_id")
+    # materialize now (eager localCheckpoint — RDD-level blocks the
+    # ContextCleaner frees when the result is GC'd), then drop the big
+    # intermediate: a query loop must not accumulate cached token scans
+    # until executor storage evicts them (ADVICE r02)
+    out = out.localCheckpoint(eager=True)
+    td.unpersist()
+    return out
 
 
 def evaluate_indexed(spark, index_dir, q: str) -> DataFrame:
@@ -168,7 +174,12 @@ def evaluate_indexed(spark, index_dir, q: str) -> DataFrame:
             return empty
         return tp.filter(F.col("term_id") == tmap[t]).select("doc_id")
 
-    return _eval_sets(ast, term_set, universe).orderBy("doc_id")
+    out = _eval_sets(ast, term_set, universe).orderBy("doc_id")
+    # same storage-hygiene rule as evaluate(): materialize, then free
+    # the decoded-lists cache before returning
+    out = out.localCheckpoint(eager=True)
+    tp.unpersist()
+    return out
 
 
 def to_sql(q: str) -> str:

@@ -131,3 +131,65 @@ def test_positions_survive_add_and_compact(spark, corpora, tmp_path):
     for w1, w2 in pairs:
         got = [r["doc_id"] for r in lists.phrase_docs(spark, d, [w1, w2]).orderBy("doc_id").collect()]
         assert got == want(w1, w2), ("post-compact", w1, w2)
+
+
+def test_doc_meta_liveness_multi_generation(spark, corpora, tmp_path):
+    """doc_meta_df() must serve the LIVE view between a delete/replace
+    and the next compact: newest row per doc_id, tombstoned docs gone
+    (ADVICE r02 — facets/NOT universes double-counted otherwise)."""
+    from open_source_search_engine_spark.index import lists
+    from open_source_search_engine_spark.index.engine import QueryEngine
+    from open_source_search_engine_spark.plans import boolean_expr
+
+    base, _, _ = corpora
+    d = tmp_path / "idx_live"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content",
+        tokenizer_mode="code", extra_meta_cols=["lang"],
+    )
+    vic_replace, vic_delete = 3, 7
+    upd = (
+        base.filter(F.col("doc_id") == vic_replace)
+        .withColumn("content", F.lit("xyzzy replacement body"))
+        .withColumn("lang", F.lit("zz"))
+    )
+    merge.add_documents(spark, upd, d, replace=True)
+    merge.delete_documents(spark, d, [vic_delete])
+
+    n_base = base.count()
+    for handle in (lists.ColdIndex(spark, d), QueryEngine(spark, d)):
+        dm = handle.doc_meta_df().toPandas()
+        assert dm["doc_id"].is_unique
+        assert vic_delete not in set(dm["doc_id"])
+        assert dm.loc[dm["doc_id"] == vic_replace, "lang"].iloc[0] == "zz"
+        assert len(dm) == n_base - 1
+
+    # NOT universe = live doc_meta: a term nobody has matches all LIVE
+    # docs; the deleted doc must not resurface
+    got = boolean_expr.evaluate_indexed(
+        spark, lists.ColdIndex(spark, d), "not qqqnosuchterm"
+    ).toPandas()
+    assert len(got) == n_base - 1
+    assert vic_delete not in set(got["doc_id"])
+    # the replaced doc is findable via its NEW content on a fresh term
+    hits = boolean_expr.evaluate_indexed(
+        spark, lists.ColdIndex(spark, d), "xyzzy"
+    ).toPandas()
+    assert set(hits["doc_id"]) == {vic_replace}
+
+
+def test_positionless_store_raises(spark, corpora, tmp_path):
+    """store_positions=False → phrase/proximity must FAIL LOUDLY, not
+    silently return empty (ADVICE r02: blocks carry pos_blob=b'')."""
+    import dataclasses
+
+    from open_source_search_engine_spark.index import lists
+
+    base, _, _ = corpora
+    d = tmp_path / "idx_nopos"
+    cfg = dataclasses.replace(TEST_CFG, store_positions=False)
+    builder.build_index(
+        spark, base.limit(30), d, cfg=cfg, text_col="content", tokenizer_mode="code"
+    )
+    with pytest.raises(ValueError, match="store_positions"):
+        lists.phrase_docs(spark, d, ["def", "return"]).collect()
