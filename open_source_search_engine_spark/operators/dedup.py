@@ -315,19 +315,18 @@ def _simhash_sigs(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.withColumn("h", F.md5(F.col("term").cast("binary")))
+    # one F.expr string per bit agg (identical semantics to the
+    # equivalent Column tree, but ~6× fewer py4j round-trips — the
+    # driver-side plan build was a measurable chunk of small-query
+    # latency at 64 bits)
     bit_aggs = [
-        F.when(
-            F.sum(
-                F.when(
-                    F.substring("h", j // 4 + 1, 1).isin(list(_NIBBLE_BIT[j % 4])),
-                    F.col("tf"),
-                ).otherwise(-F.col("tf"))
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN substring(h, {pos}, 1) IN ({chars}) "
+            "THEN tf ELSE -tf END) > 0 THEN '1' ELSE '0' END".format(
+                pos=j // 4 + 1,
+                chars=", ".join(f"'{c}'" for c in _NIBBLE_BIT[j % 4]),
             )
-            > 0,
-            F.lit("1"),
-        )
-        .otherwise(F.lit("0"))
-        .alias(f"b{j}")
+        ).alias(f"b{j}")
         for j in range(bits)
     ]
     sigs = tf.groupBy("doc_id").agg(*bit_aggs)

@@ -139,22 +139,29 @@ def _hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> np.ndarr
     return signs
 
 
-def _sig_long(v: Column, planes: np.ndarray) -> Column:
+def _sig_long(v: Column | str, planes: np.ndarray) -> Column:
     """Pack the random-hyperplane signature into ONE long column:
     bit p = (v · plane_p) > 0. Pure column math → codegen; hamming
-    between signatures is then bit_count(xor) — a single JVM op."""
+    between signatures is then bit_count(xor) — a single JVM op.
+
+    Built as ONE ``F.expr`` string, not a Column tree: the naive
+    per-literal construction is n_planes × dim py4j round-trips
+    (~17 s of driver time for 8 bands × 16 planes × 64 dims before
+    any work runs). The SQL text keeps the exact same left-to-right
+    fold order as the previous zip_with/aggregate tree, so scores and
+    signature bits are bit-identical to the DuckDB oracle."""
     n_planes = planes.shape[0]
     assert n_planes <= 63
-    plane_lits = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in planes])
-    bits = [
-        F.when(_dot(F.element_at(plane_lits, p + 1), v) > 0, F.lit(1 << p).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for p in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    vexpr = v if isinstance(v, str) else "v"
+    terms = []
+    for p, row in enumerate(planes):
+        arr = ",".join("1.0D" if x > 0 else "-1.0D" for x in row)
+        dot = (
+            f"aggregate(zip_with({vexpr}, array({arr}), (x, y) -> x * y), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_ann_topk(
@@ -182,7 +189,7 @@ def lsh_ann_topk(
     returned scores are exact)."""
     planes = _hyperplanes(dim, n_planes)
     e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
-    sig = e.withColumn("sig", _sig_long(F.col("v"), planes))
+    sig = e.withColumn("sig", _sig_long("v", planes))
     q = sig.filter(F.col(id_col) == query_vec_id).select(
         F.col("v").alias("qv"), F.col("sig").alias("qsig")
     )
@@ -225,7 +232,7 @@ def embedding_near_dup(
     planes = _hyperplanes(dim, n_bands * band_bits)
     e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
     band_sigs = [
-        _sig_long(F.col("v"), planes[bi * band_bits : (bi + 1) * band_bits])
+        _sig_long("v", planes[bi * band_bits : (bi + 1) * band_bits])
         for bi in range(n_bands)
     ]
     sig = e.withColumn(
