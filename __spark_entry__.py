@@ -46,17 +46,49 @@ def _segment_index(spark: SparkSession, sf_dir: str) -> Path:
         from open_source_search_engine_spark.index import builder as idx_builder
 
         d = Path(tempfile.mkdtemp(prefix="osse_seg_")) / "idx"
+        docs = _docs(spark, sf_dir)
         idx_builder.build_index(
             spark,
-            _docs(spark, sf_dir),
+            docs,
             d,
             cfg=EngineConfig(n_buckets=16, n_salts=4, block_size=64),
             text_col="text",
             extra_meta_cols=["lang", "source", "n_chars"],
             index_fields=["lang", "source"],
+            # per-doc siteRank persisted into doc_meta from the link
+            # graph at build time (J4/A6) — rank-boosted queries read
+            # doc_meta only
+            site_rank_edges=anchors.synthetic_edges(docs),
+            site_col="source",
         )
         _IDX_CACHE[sf_dir] = d
     return _IDX_CACHE[sf_dir]
+
+
+def _segment_index_anchored(spark: SparkSession, sf_dir: str) -> Path:
+    """Second, smaller fixture store built with anchor_edges: inbound
+    anchor text indexed into the target docs' termlists at build time
+    (J3 — XmlDoc::hashIncomingLinkText). Serves the anchored BM25
+    entry with zero query-time corpus work."""
+    key = sf_dir + "#anchored"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+
+        d = Path(tempfile.mkdtemp(prefix="osse_anc_")) / "idx"
+        docs = _docs(spark, sf_dir)
+        idx_builder.build_index(
+            spark,
+            docs,
+            d,
+            cfg=EngineConfig(n_buckets=8, n_salts=2, block_size=64),
+            text_col="text",
+            anchor_edges=anchors.synthetic_edges(docs),
+        )
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
 
 
 def _wand_q(terms: list[str], mode: str):

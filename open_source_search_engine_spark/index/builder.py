@@ -272,6 +272,9 @@ def build_index(
     resume: bool = False,
     input_snapshot: str = "full",
     index_fields: list[str] | None = None,
+    anchor_edges: DataFrame | None = None,
+    site_rank_edges: DataFrame | None = None,
+    site_col: str = "source",
 ) -> dict:
     """Full (generation-0) index build. Returns the meta dict.
 
@@ -284,9 +287,44 @@ def build_index(
     SURVEY.md §1.2/§2.2 F3). A field restriction then resolves to ONE
     pruned list read instead of a doc_meta scan+join; the terms live
     in term_dict / segments like any other term (tf=1, score unused —
-    they are filter lists, not scored lists)."""
+    they are filter lists, not scored lists).
+
+    ``anchor_edges`` — (src_doc_id, dst_doc_id, anchor_text) link
+    table: inbound anchor text is indexed INTO the target doc's
+    termlists at build time (XmlDoc::hashIncomingLinkText — inlink
+    text hashed into the target's posdb lists, SURVEY.md §1.3/§2.3
+    J3). Expressed as one doc_id-keyed join concatenating each doc's
+    inbound anchors (deterministically src-ordered) after its content
+    before the single tokenize pass, so tf/df/doc_len/positions all
+    reflect the combined stream and every index-backed operator serves
+    anchored semantics with zero extra query-time work. The content
+    sha256 invariant stays over the ORIGINAL text column.
+
+    ``site_rank_edges`` — doc-level edge table from which per-site
+    inlink ranks are computed (A6) and persisted per doc as a
+    ``site_rank`` doc_meta column (the 4-bit siteRank the reference
+    bakes into every posdb key) — rank-boosted queries then read
+    doc_meta only, never the link graph."""
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
+
+    tok_docs, tok_text_col = docs, text_col
+    if anchor_edges is not None:
+        agg = anchor_edges.groupBy(F.col("dst_doc_id").alias(id_col)).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("src_doc_id", "anchor_text"))
+                    ),
+                    lambda x: x["anchor_text"],
+                ),
+                " ",
+            ).alias("__anchors")
+        )
+        tok_docs = docs.join(agg, id_col, "left").withColumn(
+            "__text_anchored", F.concat_ws(" ", F.col(text_col), F.col("__anchors"))
+        )
+        tok_text_col = "__text_anchored"
 
     # ONE tokenize pass, staged to parquet and reused by every
     # downstream stage (the RdbTree memtable moment — nothing re-reads
@@ -305,7 +343,12 @@ def build_index(
     td_dir = index_dir / "term_dict"
     if not (resume and (staging / "_SUCCESS").exists()):
         staged_postings(
-            docs, text_col, id_col, mode=tokenizer_mode, stopwords=cfg.stopwords
+            tok_docs,
+            tok_text_col,
+            id_col,
+            mode=tokenizer_mode,
+            stopwords=cfg.stopwords,
+            sha_col=text_col if anchor_edges is not None else None,
         ).write.mode("overwrite").parquet(str(staging))
     # NOTE: on failure anywhere below, the staging dir is left in
     # place — a resumed build reuses it and skips the tokenize pass
@@ -342,6 +385,16 @@ def build_index(
                 "doc_id",
                 "left",
             )
+        if site_rank_edges is not None:
+            from open_source_search_engine_spark.operators.site_rank import (
+                doc_site_rank,
+            )
+
+            meta_df = meta_df.join(
+                doc_site_rank(docs, site_rank_edges, site_col, id_col),
+                "doc_id",
+                "left",
+            )
         # corpus stats observed ON the doc_meta write itself — no
         # second job/scan (Observation = accumulator-backed metrics)
         obs = Observation("corpus_stats")
@@ -367,6 +420,7 @@ def build_index(
             "tokenizer_mode": tokenizer_mode,
             "text_col": text_col,
             "index_fields": sorted(index_fields or []),
+            "anchored": anchor_edges is not None,
         }
         _write_meta(index_dir, meta)
 

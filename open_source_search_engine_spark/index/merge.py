@@ -100,14 +100,38 @@ def add_documents(
     index_dir: str | Path,
     replace: bool = False,
     input_snapshot: str = "incremental",
+    anchor_edges: DataFrame | None = None,
 ) -> dict:
     """Index new docs as the next generation. ``replace=True`` first
-    tombstones incoming doc_ids (update semantics)."""
+    tombstones incoming doc_ids (update semantics).
+
+    ``anchor_edges`` — inbound-anchor edges FOR THE DELTA DOCS (same
+    shape as builder.build_index's): an anchored store should pass the
+    new docs' inlink rows so their termlists carry anchor text like
+    generation 0's (the reference re-hashes link info whenever a doc
+    is reindexed, XmlDoc::hashIncomingLinkText)."""
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
     gen = max(current_generations(index_dir), default=0) + 1
     text_col, tok_mode = meta["text_col"], meta["tokenizer_mode"]
+    tok_docs, tok_text_col = docs, text_col
+    if anchor_edges is not None:
+        agg = anchor_edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("src_doc_id", "anchor_text"))
+                    ),
+                    lambda x: x["anchor_text"],
+                ),
+                " ",
+            ).alias("__anchors")
+        )
+        tok_docs = docs.join(agg, "doc_id", "left").withColumn(
+            "__text_anchored", F.concat_ws(" ", F.col(text_col), F.col("__anchors"))
+        )
+        tok_text_col = "__text_anchored"
 
     if replace:
         # distributed tombstone append — never collect incoming ids to
@@ -124,7 +148,7 @@ def add_documents(
         ).write.mode("append").parquet(str(index_dir / "tombstones"))
 
     posts = fast_postings(
-        docs, text_col, "doc_id", mode=tok_mode, stopwords=cfg.stopwords
+        tok_docs, tok_text_col, "doc_id", mode=tok_mode, stopwords=cfg.stopwords
     )
     # field-prefixed termlists (F3) must cover new generations too, or
     # field-restricted queries silently miss every doc added after the

@@ -249,7 +249,31 @@ def driver_queries():
         "site_rank_boosted_topk": lambda s, d: bm25_topk_site_boosted(
             _docs(s, d), ["join", "hash"], k=10
         ),
+        # index-backed twins (VERDICT r02 item 2): anchors live in the
+        # termlists of a build with anchor_edges; site_rank is a
+        # doc_meta column of the main store — neither touches the
+        # corpus or the link graph at query time
+        "anchor_text_topk_indexed": lambda s, d: _anchored_indexed(s, d),
+        "site_rank_boosted_topk_indexed": lambda s, d: _site_boosted_indexed(s, d),
     }
+
+
+def _anchored_indexed(spark, sf_dir):
+    import __spark_entry__ as entry
+    from open_source_search_engine_spark.operators import indexed
+
+    return indexed.bm25_topk(
+        spark, entry._segment_index_anchored(spark, sf_dir), ["join", "hash"], k=10
+    )
+
+
+def _site_boosted_indexed(spark, sf_dir):
+    import __spark_entry__ as entry
+    from open_source_search_engine_spark.operators import indexed
+
+    return indexed.bm25_topk_site_boosted(
+        spark, entry._segment_index(spark, sf_dir), ["join", "hash"], k=10
+    )
 
 
 def driver_oracles():
@@ -257,6 +281,10 @@ def driver_oracles():
         "anchor_text_topk": anchored_topk_sql(["join", "hash"], k=10),
         "site_rank_table": site_rank_table_sql(),
         "site_rank_boosted_topk": site_boosted_topk_sql(["join", "hash"], k=10),
+        # identical oracles as the corpus-algebra twins — the driver
+        # proves the anchored/site-ranked stores serve the same answers
+        "anchor_text_topk_indexed": anchored_topk_sql(["join", "hash"], k=10),
+        "site_rank_boosted_topk_indexed": site_boosted_topk_sql(["join", "hash"], k=10),
     }
 
 

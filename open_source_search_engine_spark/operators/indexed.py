@@ -235,6 +235,34 @@ def topk_sitecap(
     )
 
 
+def bm25_topk_site_boosted(
+    spark: SparkSession,
+    index_dir,
+    terms: list[str],
+    k: int = 10,
+    site_col: str = "source",
+) -> DataFrame:
+    """Top-k on BM25 × (1 + site_rank/16), served entirely from the
+    index: scores from the precomputed per-posting contributions,
+    site_rank from the doc_meta column the build persisted from the
+    link graph (builder.build_index(site_rank_edges=…)) — the posdb
+    siteRank multiplier (J4 + A6, SURVEY.md §2.4) with the link graph
+    untouched at query time (VERDICT r02 item 2: the corpus-algebra
+    twin re-derived ranks per query)."""
+    scored = scored_matches(spark, index_dir, terms, "and")
+    dm = _doc_meta(spark, index_dir).select(
+        "doc_id", F.col(site_col).alias("site"), "site_rank"
+    )
+    w = F.lit(1.0) + F.coalesce(F.col("site_rank"), F.lit(0)).cast("double") / F.lit(16.0)
+    return (
+        scored.join(dm, "doc_id")
+        .withColumn("_b", F.col("_score") * w)
+        .orderBy(F.desc("_b"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("_b", 5).alias("score"), "site")
+    )
+
+
 def paginate(
     spark: SparkSession, index_dir, terms: list[str], offset: int, limit: int
 ) -> DataFrame:

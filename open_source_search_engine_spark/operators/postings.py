@@ -60,6 +60,7 @@ def staged_postings(
     id_col: str = "doc_id",
     mode: str = "simple",
     stopwords: frozenset | tuple = (),
+    sha_col: str | None = None,
 ) -> DataFrame:
     """Union-layout build intermediate: ONE tokenizer pass emits both
     posting rows and per-doc meta rows in a single schema
@@ -186,10 +187,14 @@ def staged_postings(
                 schema=schema,
             )
 
+    # sha_col: column the content sha256 invariant is computed over —
+    # defaults to the tokenized text; an anchored build tokenizes the
+    # anchor-augmented text but keeps the sha over the ORIGINAL content
+    # (the per-row invariant is content equality vs the source table)
     sel = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__text"),
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("__sha"),
+        F.sha2(F.col(sha_col or text_col).cast("binary"), 256).alias("__sha"),
     )
     staged = sel.mapInArrow(
         it, "term string, doc_id long, tf int, doc_len int, sha string, pos_blob binary"

@@ -42,6 +42,40 @@ def site_rank(edges: DataFrame) -> DataFrame:
     )
 
 
+def doc_site_rank(
+    docs: DataFrame,
+    edges: DataFrame,
+    site_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, site_rank) for EVERY doc (0 where the doc's site has no
+    inlinking sites) — the per-docid siteRank the reference bakes into
+    each posdb key's 4-bit field (Posdb.h, SURVEY.md §1.3), computed
+    from a doc-level edge table ``(src_doc_id, dst_doc_id, …)`` lifted
+    to site level. Used by builder.build_index to persist site_rank as
+    a doc_meta column at build time so rank-boosted queries never touch
+    the link graph (VERDICT r02 item 2). The site-level rank table is
+    sites-sized (≪ docs) → broadcast."""
+    sites = docs.select(F.col(id_col).alias("doc_id"), F.col(site_col).alias("site"))
+    se = (
+        edges.join(
+            sites.withColumnsRenamed({"doc_id": "src_doc_id", "site": "src_site"}),
+            "src_doc_id",
+        )
+        .join(
+            sites.withColumnsRenamed({"doc_id": "dst_doc_id", "site": "dst_site"}),
+            "dst_doc_id",
+        )
+        .select("src_site", "dst_site")
+    )
+    ranks = site_rank(se)
+    return sites.join(
+        F.broadcast(ranks.select("site", "site_rank")), "site", "left"
+    ).select(
+        "doc_id", F.coalesce("site_rank", F.lit(0)).cast("int").alias("site_rank")
+    )
+
+
 def apply_site_rank_boost(
     scored: DataFrame, ranks: DataFrame, site_col: str = "site"
 ) -> DataFrame:
