@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
@@ -87,6 +88,133 @@ def _segment_index_anchored(spark: SparkSession, sf_dir: str) -> Path:
             text_col="text",
             anchor_edges=anchors.synthetic_edges(docs),
         )
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+LSM_SUFFIX = " lsmupdated zzzlsm"
+
+
+def _lsm_index(spark: SparkSession, sf_dir: str) -> Path:
+    """LSM-lifecycle fixture (O2/S2, SURVEY.md §2.6/§2.10): gen-0 build
+    → replace-mode add_documents for doc_id % 100 == 3 (text gains a
+    marker suffix) → delete_documents for doc_id % 100 == 7. Queries
+    against this store pin tombstone annihilation and generation-merge
+    on the READ path (RdbList::merge_r negative keys) against oracles
+    over the equivalently-mutated corpus."""
+    key = sf_dir + "#lsm"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+        from open_source_search_engine_spark.index import merge as idx_merge
+
+        d = Path(tempfile.mkdtemp(prefix="osse_lsm_")) / "idx"
+        docs = _docs(spark, sf_dir)
+        idx_builder.build_index(
+            spark, docs, d,
+            cfg=EngineConfig(n_buckets=8, n_salts=2, block_size=64),
+            text_col="text",
+        )
+        upd = docs.filter(F.col("doc_id") % 100 == 3).withColumn(
+            "text", F.concat(F.col("text"), F.lit(LSM_SUFFIX))
+        )
+        idx_merge.add_documents(spark, upd, d, replace=True)
+        dead = [
+            r["doc_id"]
+            for r in docs.filter(F.col("doc_id") % 100 == 7)
+            .select("doc_id")
+            .collect()
+        ]
+        idx_merge.delete_documents(spark, d, dead)
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+def _lsm_compacted(spark: SparkSession, sf_dir: str) -> Path:
+    """The same mutated store after compact() — tombstones applied,
+    exact stats recomputed (equivalent to a from-scratch build over
+    the live set), so SCORED queries are oracle-comparable too."""
+    key = sf_dir + "#lsmc"
+    if key not in _IDX_CACHE:
+        import shutil
+        import tempfile
+
+        from open_source_search_engine_spark.index import merge as idx_merge
+
+        src = _lsm_index(spark, sf_dir)
+        d = Path(tempfile.mkdtemp(prefix="osse_lsmc_")) / "idx"
+        shutil.copytree(src, d)
+        idx_merge.compact(spark, d)
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+def _lsm_oracle(sql: str) -> str:
+    """Wrap a standard oracle so its ``documents`` is the MUTATED
+    corpus (CTE shadowing the view): doc_id % 100 == 7 deleted,
+    doc_id % 100 == 3 text-suffixed — the exact mutations
+    _lsm_index applies through add_documents/delete_documents."""
+    body = sql.lstrip()
+    assert body.upper().startswith("WITH")
+    return f"""WITH __base AS (SELECT * FROM main.documents),
+documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 100 = 3 THEN text || '{LSM_SUFFIX}' ELSE text END AS text,
+         lang, source, n_chars
+  FROM __base WHERE doc_id % 100 <> 7
+),{body[4:]}"""
+
+
+def _subset_oracle(sql: str, pred: str) -> str:
+    """Wrap a standard oracle so ``documents`` is restricted to
+    ``pred`` (CTE shadowing the registered view)."""
+    body = sql.lstrip()
+    assert body.upper().startswith("WITH")
+    return (
+        "WITH __base AS (SELECT * FROM main.documents),\n"
+        f"documents AS (SELECT * FROM __base WHERE {pred}),{body[4:]}"
+    )
+
+
+def _stream_index(spark: SparkSession, sf_dir: str) -> Path:
+    """Index built INCREMENTALLY by the Structured Streaming indexer
+    (SURVEY.md §2.10): gen-0 batch build over doc_id < 100, then the
+    availableNow file stream drains two parquet files (doc_id 100-199,
+    200-299) as two micro-batches → two LSM generations via
+    foreachBatch add_documents. Queries over it pin the
+    generation-merged read path against oracles over the full
+    doc_id < 300 corpus."""
+    key = sf_dir + "#stream"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+        from open_source_search_engine_spark.streaming.incremental import (
+            start_incremental_indexer,
+        )
+
+        base = Path(tempfile.mkdtemp(prefix="osse_stream_"))
+        d, src, ckpt = base / "idx", base / "src", base / "ckpt"
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+        idx_builder.build_index(
+            spark,
+            docs.filter(F.col("doc_id") < 100),
+            d,
+            cfg=EngineConfig(n_buckets=8, n_salts=2, block_size=64),
+            text_col="text",
+        )
+        for lo, hi in ((100, 200), (200, 300)):
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(str(src))
+        q = start_incremental_indexer(
+            spark, src, d, docs.schema, ckpt,
+            replace=False, available_now=True, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
         _IDX_CACHE[key] = d
     return _IDX_CACHE[key]
 
@@ -202,6 +330,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": lambda s, d: bm25.bm25_grouped(
             _docs(s, d), [["join", "merge"], ["hash"]], k=10
         ),
+        # --- LSM lifecycle (O2/S2, §2.10): add/replace/delete served
+        # through generation merge + tombstones, then compact ---
+        "lsm_update_contains": lambda s, d: _lsm_q(s, d, "contains"),
+        "lsm_delete_and_intersect": lambda s, d: _lsm_q(s, d, "and"),
+        "lsm_update_topk": lambda s, d: _lsm_q(s, d, "topk"),
+        # --- streaming incremental build (§2.10): generations written
+        # by the availableNow file stream, positions served merged ---
+        "streaming_incremental_phrase": lambda s, d: _stream_phrase_q(s, d),
     }
     q.update(anchors.driver_queries())
     q.update(events.driver_queries())
@@ -262,6 +398,15 @@ def oracle_sql() -> dict[str, str]:
         "bool_expr_nested": _bool_sql(BOOL_Q2),
         "bool_expr_indexed": _bool_sql(BOOL_Q1),
         "bm25_synonyms": osql.bm25_grouped_sql([["join", "merge"], ["hash"]], k=10),
+        # LSM lifecycle: standard oracles over the CTE-mutated corpus
+        "lsm_update_contains": _lsm_oracle(osql.term_lookup_sql("zzzlsm")),
+        "lsm_delete_and_intersect": _lsm_oracle(
+            osql.and_intersect_sql(["join", "hash", "scan"])
+        ),
+        "lsm_update_topk": _lsm_oracle(osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10)),
+        "streaming_incremental_phrase": _subset_oracle(
+            osql.phrase_bigram_sql("join", "hash"), "doc_id < 300"
+        ),
     }
     o.update(anchors.driver_oracles())
     o.update(events.driver_oracles())
@@ -306,6 +451,31 @@ SELECT DISTINCT t0.doc_id
 FROM (SELECT doc_id, pos FROM ptoks WHERE term = '{w0}') t0
 {chr(10).join(joins)}
 ORDER BY t0.doc_id"""
+
+
+def _lsm_q(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from open_source_search_engine_spark.operators import indexed
+
+    if kind == "contains":
+        # replaced docs carry the marker term in their gen-1 postings
+        return indexed.term_lookup(spark, _lsm_index(spark, sf_dir), "zzzlsm")
+    if kind == "and":
+        # deleted docs must be annihilated by tombstones at read time
+        return indexed.and_intersect(
+            spark, _lsm_index(spark, sf_dir), ["join", "hash", "scan"]
+        )
+    # scored top-k on the compacted store (exact stats over live set)
+    return indexed.bm25_topk(
+        spark, _lsm_compacted(spark, sf_dir), FLAGSHIP_TERMS, k=10
+    )
+
+
+def _stream_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_source_search_engine_spark.index import lists
+
+    return lists.phrase_docs(
+        spark, _stream_index(spark, sf_dir), ["join", "hash"]
+    ).orderBy("doc_id")
 
 
 def _bool_q(spark: SparkSession, sf_dir: str, q: str, use_index: bool) -> DataFrame:
