@@ -85,6 +85,7 @@ def bm25_scores(
     require_docs: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
     extra_tokens: DataFrame | None = None,
+    groups: list[list[str]] | None = None,
 ) -> DataFrame:
     """FULL scored match set (doc_id, _score float64, unrounded,
     unordered, no k cut) — the partial result every result-shaping
@@ -96,7 +97,13 @@ def bm25_scores(
     ``extra_tokens`` (doc_id, term) is unioned into the token stream
     before ANY statistic — df, tf, doc_len and avgdl are all computed
     over the combined stream (the anchor-text indexing hook, J3:
-    operators/anchors.py)."""
+    operators/anchors.py).
+
+    ``groups`` (synonym OR-groups, X5 — Query.cpp set2 synonym term
+    grouping): when given, must partition ``query_terms``; AND mode
+    then requires >=1 member of EVERY group present (countDistinct of
+    the group id) instead of every term, while every present member
+    still contributes its term score."""
     terms = sorted(set(query_terms))
     tokens = doc_tokens(docs, text_col, id_col, mode=tokenizer_mode)
     if extra_tokens is not None:
@@ -132,6 +139,18 @@ def bm25_scores(
             ),
         )
     )
+    if groups:
+        gid = None
+        for i, g in enumerate(groups):
+            cond = F.col("term").isin(sorted(set(g)))
+            gid = F.when(cond, i) if gid is None else gid.when(cond, i)
+        agg = scored.withColumn("gid", gid).groupBy("doc_id").agg(
+            F.sum("term_score").alias("_score"),
+            F.countDistinct("gid").alias("_nterms"),
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("_nterms") == len(groups))
+        return agg.select("doc_id", "_score")
     agg = scored.groupBy("doc_id").agg(
         F.sum("term_score").alias("_score"),
         F.count(F.lit(1)).alias("_nterms"),
@@ -154,18 +173,20 @@ def bm25_topk_oracle(
     require_docs: DataFrame | None = None,
     exclude_docs: DataFrame | None = None,
     extra_tokens: DataFrame | None = None,
+    groups: list[list[str]] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a bag of query terms, end to end from
     the raw docs table. `mode='and'` requires all terms present
     (Gigablast default AND, Query.cpp set2); `'or'` is the union.
     `require_docs` / `exclude_docs` are (doc_id) sets semi-/anti-joined
     onto the candidates (phrase constraints F5, negative terms F1).
+    ``groups`` switches AND-counting to synonym OR-groups (X5).
     Output: (doc_id, score) with score rounded to 5 dp for stable
     cross-engine comparison; ordering uses the unrounded float64.
     """
     agg = bm25_scores(
         docs, query_terms, mode, candidate_filter, cfg, text_col, id_col,
-        tokenizer_mode, require_docs, exclude_docs, extra_tokens,
+        tokenizer_mode, require_docs, exclude_docs, extra_tokens, groups,
     )
     return (
         agg.orderBy(F.desc("_score"), F.asc("doc_id"))

@@ -11,6 +11,11 @@ Grammar (Gigablast-compatible subset):
                     (lang:, source:; numeric col ops via range_:)
     "a b"           phrase: tokens must be adjacent (X4 bigram ids);
                     each token also scored
+    a|b|c           synonym OR-group (X5 — Query.cpp set2 synonym
+                    expansion, Synonyms.cpp getSynonyms): the group
+                    must match (>=1 member present), every present
+                    member contributes its BM25 term score; -a|b
+                    excludes docs containing ANY member
 
 ``execute`` compiles the parsed query onto the DataFrame BM25 oracle;
 ``sql`` emits the equivalent DuckDB SQL so the driver can verify the
@@ -37,14 +42,38 @@ class ParsedQuery:
     excluded: list[str] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
     phrases: list[tuple[str, ...]] = field(default_factory=list)
+    groups: list[tuple[str, ...]] = field(default_factory=list)
+
+    @property
+    def scored_groups(self) -> list[tuple[str, ...]]:
+        """AND units, in query order: singleton groups for plain
+        required terms and phrase words, multi-member groups for
+        ``a|b`` tokens. Term membership is first-wins (a term already
+        claimed by an earlier unit is dropped from later ones), so
+        term → group is a function — the CASE/WHEN gid chains in the
+        Spark paths and the SQL oracle agree by construction."""
+        out: list[tuple[str, ...]] = []
+        seen: set[str] = set()
+        units = (
+            [(t,) for t in self.required]
+            + [tuple(g) for g in self.groups]
+            + [(w,) for p in self.phrases for w in p]
+        )
+        for g in units:
+            members = tuple(t for t in dict.fromkeys(g) if t not in seen)
+            if not members:
+                continue
+            seen.update(members)
+            out.append(members)
+        return out
 
     @property
     def scored_terms(self) -> list[str]:
-        seen: list[str] = []
-        for t in self.required + [w for p in self.phrases for w in p]:
-            if t not in seen:
-                seen.append(t)
-        return seen
+        return [t for g in self.scored_groups for t in g]
+
+    @property
+    def has_or_groups(self) -> bool:
+        return any(len(g) > 1 for g in self.scored_groups)
 
 
 def parse(q: str) -> ParsedQuery:
@@ -64,6 +93,17 @@ def parse(q: str) -> ParsedQuery:
             if f.lower() in FIELD_COLS:
                 out.filters[f.lower()] = v
                 continue
+        if "|" in tok:
+            members = [w for w in tok.lower().split("|") if w]
+            if not members:
+                continue
+            if sign == "-":
+                out.excluded.extend(members)
+            elif len(members) == 1:
+                out.required.append(members[0])
+            else:
+                out.groups.append(tuple(members))
+            continue
         t = tok.lower()
         if not t:
             continue
@@ -115,6 +155,9 @@ def execute(
         tokenizer_mode=tokenizer_mode,
         require_docs=require,
         exclude_docs=exclude,
+        groups=(
+            [list(g) for g in pq.scored_groups] if pq.has_or_groups else None
+        ),
     )
 
 
@@ -172,6 +215,9 @@ def execute_indexed(
         require_docs=require,
         exclude_docs=exclude,
         candidate_docs=candidate,
+        groups=(
+            [list(g) for g in pq.scored_groups] if pq.has_or_groups else None
+        ),
     )
     return (
         scored.orderBy(F.desc("_score"), F.asc("doc_id"))
@@ -186,6 +232,16 @@ def sql(q: str, k: int = 10) -> str:
     terms = pq.scored_terms
     tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     n_terms = len(set(terms))
+    if pq.has_or_groups:
+        # synonym OR-groups: count matched GROUPS, not terms (X5)
+        sg = pq.scored_groups
+        whens = " ".join(
+            f"WHEN tf.term IN ({', '.join(chr(39) + t.replace(chr(39), chr(39) * 2) + chr(39) for t in g)}) THEN {i}"
+            for i, g in enumerate(sg)
+        )
+        having = f"COUNT(DISTINCT CASE {whens} END) = {len(sg)}"
+    else:
+        having = None
     parts = []
     for f, v in pq.filters.items():
         vv = v.replace("'", "''")
@@ -230,7 +286,7 @@ def sql(q: str, k: int = 10) -> str:
                     + {p['b']} * dl.doc_len / stats.avgdl)) ) AS s
   FROM tf JOIN q_df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats GROUP BY tf.doc_id
-  HAVING COUNT(*) = {n_terms}
+  HAVING {having or f"COUNT(*) = {n_terms}"}
 )
 SELECT doc_id, ROUND(s, 5) AS score
 FROM agg ORDER BY s DESC, doc_id ASC LIMIT {k}"""

@@ -33,3 +33,36 @@ def test_parse_negative_phrase_kept_as_phrase():
     pq = parse('-"a b" c')
     assert ("a", "b") in pq.phrases
     assert pq.required == ["c"]
+
+
+def test_parse_or_groups():
+    # a|b|c synonym OR-groups (X5 through the grammar)
+    pq = parse("join|merge hash -dup|copy lang:en")
+    assert pq.groups == [("join", "merge")]
+    assert pq.required == ["hash"]
+    # negative group excludes every member
+    assert pq.excluded == ["dup", "copy"]
+    assert pq.filters == {"lang": "en"}
+    assert pq.has_or_groups
+    # AND units: required first, then groups, then phrase words
+    assert pq.scored_groups == [("hash",), ("join", "merge")]
+    assert pq.scored_terms == ["hash", "join", "merge"]
+
+
+def test_parse_or_group_first_wins_dedup():
+    # a term claimed by an earlier unit drops out of later groups,
+    # so term -> group stays a function (gid CASE chains agree)
+    pq = parse("join join|merge")
+    assert pq.scored_groups == [("join",), ("merge",)]
+    # singleton pipe token degrades to a plain term; no OR semantics
+    assert not parse("a| b").has_or_groups
+    assert parse("a| b").required == ["a", "b"]
+
+
+def test_parse_no_groups_keeps_legacy_shape():
+    # without | tokens, scored_groups are all singletons and
+    # scored_terms matches the historical order exactly
+    pq = parse('join +hash "merge scan"')
+    assert pq.scored_groups == [("join",), ("hash",), ("merge",), ("scan",)]
+    assert pq.scored_terms == ["join", "hash", "merge", "scan"]
+    assert not pq.has_or_groups
