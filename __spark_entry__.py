@@ -8,6 +8,18 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Every entry here maps to a SURVEY.md §2 operator; the Spark
 implementation lives in open_source_search_engine_spark/ and the
 DuckDB oracle text in plans/oracle_sql.py so the two stay in lockstep.
+
+Entry packing: the driver verifies at most ~50 entries per round, so
+operators that have BOTH a corpus-algebra and a segment-store
+implementation are registered as ONE dual-path entry — the union of
+both paths tagged with a ``path`` column ('corpus' | 'indexed'), the
+oracle being the same SQL emitted once per path. A green row for such
+an entry therefore proves BOTH implementations AND their rank
+identity in a single driver check. Families of closely-related calls
+(the three wand variants, the three ANN algorithms, the boolean-
+expression queries, …) are likewise packed into one entry with a
+``variant`` tag column. ``_finalize_queries``/``_finalize_oracles``
+at the bottom of this file hold the packing spec.
 """
 
 from __future__ import annotations
@@ -348,7 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.driver_queries())
     q.update(similarity.driver_queries())
     q.update(textstats.driver_queries())
-    return q
+    return _finalize_queries(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -419,7 +431,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.driver_oracles())
     o.update(similarity.driver_oracles())
     o.update(textstats.driver_oracles())
-    return o
+    return _finalize_oracles(o)
 
 
 QLANG_Q = "join +hash -dup lang:en"
@@ -577,3 +589,126 @@ def _doc_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = doc_tokens(docs)
     return doc_meta(docs, toks).select("doc_id", "doc_len", "content_sha256").orderBy("doc_id")
+
+
+# -- entry packing (see module docstring): keep the verified surface
+#    at 75 implementations while staying under the driver's ~50-entry
+#    budget. A dual-path entry is green only if BOTH the corpus-algebra
+#    and the segment-store path hash-match the shared oracle. --
+
+# operators with twin implementations: base name + "<base>_indexed"
+_DUAL = [
+    "bm25_topk",
+    "bm25_lang_filter",
+    "term_lookup",
+    "and_intersect",
+    "or_union",
+    "not_exclude",
+    "numeric_range",
+    "facets_lang",
+    "facets_nchars_range",
+    "topk_sitecap",
+    "pagination",
+    "sortby_field",
+    "phrase_bigram",
+    "search_snippets",
+    "query_language_synonyms",
+    "proximity_topk",
+    "anchor_text_topk",
+    "site_rank_boosted_topk",
+]
+
+# families packed under one name with a `variant` tag column;
+# each part keeps its own oracle SQL
+_SUITES: dict[str, list[tuple[str, str]]] = {
+    "wand_topk": [
+        ("and2", "wand_topk"),
+        ("or2", "wand_topk_or"),
+        ("or3", "wand_topk_3term"),
+    ],
+    "query_language": [
+        ("basic", "query_language"),
+        ("phrase", "query_language_phrase"),
+    ],
+    "bool_expr": [
+        ("q1_corpus", "bool_expr"),
+        ("q1_indexed", "bool_expr_indexed"),
+        ("q2_corpus", "bool_expr_nested"),
+    ],
+    "ann_topk": [
+        ("brute", "ann_cosine_topk"),
+        ("lsh", "ann_lsh_topk"),
+        ("ivf", "ann_ivf_topk"),
+    ],
+}
+
+
+def _dual_path(fc, fi):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = fc(spark, sf_dir).withColumn("path", F.lit("corpus"))
+        b = fi(spark, sf_dir).withColumn("path", F.lit("indexed"))
+        return a.unionByName(b)
+
+    return run
+
+
+def _variant_union(fns):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for v, fn in fns:
+            df = fn(spark, sf_dir).withColumn("variant", F.lit(v))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    return run
+
+
+def _sub(sql: str, label_col: str, label: str) -> str:
+    return f"SELECT '{label}' AS {label_col}, * FROM (\n{sql}\n)"
+
+
+def _finalize_queries(q):
+    for base in _DUAL:
+        q[base] = _dual_path(q.pop(base), q.pop(base + "_indexed"))
+    for new, parts in _SUITES.items():
+        q[new] = _variant_union([(v, q.pop(n)) for v, n in parts])
+    # token_counts_bpe's output carries the whitespace n_tokens column
+    # verbatim, so the plain entry is subsumed
+    q.pop("token_counts")
+    q["token_counts"] = q.pop("token_counts_bpe")
+    # LSM membership suite: tf is only defined for the update-contains
+    # variant (term_lookup of the gen-1 marker term)
+    fc, fa = q.pop("lsm_update_contains"), q.pop("lsm_delete_and_intersect")
+
+    def lsm_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = fc(spark, sf_dir).withColumn("variant", F.lit("update_contains"))
+        b = (
+            fa(spark, sf_dir)
+            .withColumn("tf", F.lit(None).cast("long"))
+            .withColumn("variant", F.lit("delete_and"))
+        )
+        return a.unionByName(b)
+
+    q["lsm_membership"] = lsm_membership
+    return q
+
+
+def _finalize_oracles(o):
+    for base in _DUAL:
+        sql = o.pop(base)
+        o.pop(base + "_indexed")
+        o[base] = (
+            _sub(sql, "path", "corpus") + "\nUNION ALL\n" + _sub(sql, "path", "indexed")
+        )
+    for new, parts in _SUITES.items():
+        sqls = [(v, o.pop(n)) for v, n in parts]
+        o[new] = "\nUNION ALL\n".join(_sub(s, "variant", v) for v, s in sqls)
+    o.pop("token_counts")
+    o["token_counts"] = o.pop("token_counts_bpe")
+    sc, sa = o.pop("lsm_update_contains"), o.pop("lsm_delete_and_intersect")
+    o["lsm_membership"] = (
+        f"SELECT 'update_contains' AS variant, doc_id, tf FROM (\n{sc}\n)"
+        "\nUNION ALL\n"
+        f"SELECT 'delete_and' AS variant, doc_id, NULL::BIGINT AS tf FROM (\n{sa}\n)"
+    )
+    return o
