@@ -64,6 +64,40 @@ class EngineConfig:
         return (1 << self.term_id_bits) - 1
 
 
+def simhash_bits_for(n_docs: int, max_hamming: int = 3, avg_bucket: int = 16) -> int:
+    """Corpus-aware simhash signature width (VERDICT r02 item 9).
+
+    Banded hamming search splits a ``bits``-wide signature into
+    ``max_hamming + 1`` bands (pigeonhole: any pair within the radius
+    collides exactly on ≥1 band). Each band has ``2^(bits/(h+1))``
+    buckets and the within-bucket verify step is quadratic in bucket
+    size, so for E[bucket] ≤ ``avg_bucket`` you need
+
+        2^(bits / (h+1)) ≥ n_docs / avg_bucket
+        bits ≥ (h+1) · log2(n_docs / avg_bucket)
+
+    e.g. h=3: 1e6 docs → 64 bits (the default), 1e9 → 104 → round up
+    to 128, 1e12 → 144 → 192. Returned value is rounded up to a
+    multiple of 64 so signatures stay packed longs."""
+    import math
+
+    need = (max_hamming + 1) * max(1.0, math.log2(max(2, n_docs) / avg_bucket))
+    return max(64, 64 * math.ceil(need / 64))
+
+
+def lsh_band_bits_for(n_docs: int, avg_bucket: int = 16) -> int:
+    """Corpus-aware hyperplane-LSH band width for embedding_near_dup:
+    each band is an independent ``band_bits``-bit bucket key, so
+    E[bucket] = n_docs / 2^band_bits; keeping it ≤ ``avg_bucket``
+    needs band_bits ≥ log2(n_docs / avg_bucket). 500 fixture vecs →
+    16 (the default floor), 1e9 → 26, 1e12 → 36 (still < the packed
+    63-bit key). Recall per band drops as bands widen — compensate
+    with n_bands (candidate recall ≈ 1-(1-p^band_bits)^n_bands)."""
+    import math
+
+    return max(16, math.ceil(math.log2(max(2, n_docs) / avg_bucket)))
+
+
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

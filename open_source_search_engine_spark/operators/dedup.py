@@ -365,7 +365,12 @@ SELECT doc_id, {concat} AS simhash FROM sigs ORDER BY doc_id"""
 def simhash_near_dup(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs by SimHash: banded candidate join (4 bands of
     bits/4 — two sigs within hamming≤3 must agree on ≥1 band), then
-    exact hamming verify. (doc_id_a, doc_id_b, hamming)."""
+    exact hamming verify. (doc_id_a, doc_id_b, hamming).
+
+    Sizing: band buckets number 2^(bits/(max_hamming+1)) and the
+    verify is quadratic within a bucket, so ``bits`` must grow with
+    the corpus — pick it with ``config.simhash_bits_for(n_docs)``
+    (64 covers ~1e6 docs, 128 ~1e9, 192 ~1e12 at E[bucket]≤16)."""
     # unsorted sigs, persisted: the 32-agg signature pipeline feeds
     # BOTH sides of the band self-join — without the persist the whole
     # tf+agg computes twice per query

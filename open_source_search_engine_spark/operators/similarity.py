@@ -228,7 +228,10 @@ def embedding_near_dup(
     Recall at cos ≥ 0.99 (θ ≤ 8°, per-bit agreement ≈ 0.955):
     P(band match) = 0.955^16 ≈ 0.48 ⇒ ≥1 of 8 bands ≈ 0.995; the
     verify step is exact cosine, so precision is 1.0 by construction
-    (tests/test_similarity.py pins both on a perturbed-copy fixture)."""
+    (tests/test_similarity.py pins both on a perturbed-copy fixture).
+    Past ~1e6·avg_bucket rows widen the bands with
+    ``config.lsh_band_bits_for(n_docs)`` (keeps E[bucket] bounded;
+    add bands to hold recall)."""
     planes = _hyperplanes(dim, n_bands * band_bits)
     e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
     band_sigs = [
@@ -477,6 +480,208 @@ SELECT vec_id, ROUND(cos, 5) AS cos_sim
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
+IVF_KMEANS_ITERS = 2
+
+
+def _assign_cells(e: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, v, cell): every vector labelled with its max-cosine
+    centroid; ties broken by lower cent_id. Broadcast + window —
+    only ever run at BUILD time (ivf_build), never per query."""
+    simc = e.crossJoin(F.broadcast(cents)).withColumn(
+        "csim", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        simc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("cent_id").alias("cell"))
+    )
+
+
+def _lloyd_step(assign: DataFrame) -> DataFrame:
+    """New centroids = element-wise mean of each cell's members,
+    rounded to 6 dp so the value is independent of float summation
+    order (makes the k-means trajectory bit-reproducible against the
+    DuckDB mirror). Empty cells drop out, exactly as in the SQL."""
+    flat = assign.select("cell", F.posexplode("v").alias("idx", "x"))
+    avg = flat.groupBy("cell", "idx").agg(F.round(F.avg("x"), 6).alias("ax"))
+    return (
+        avg.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "ax"))).alias("s"))
+        .select(
+            F.col("cell").alias("cent_id"),
+            F.transform("s", lambda st: st["ax"]).alias("cv"),
+        )
+    )
+
+
+def ivf_build(
+    spark: SparkSession,
+    embs: DataFrame,
+    out_dir,
+    n_centroids: int = IVF_N_CENTROIDS,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+    id_col: str = "vec_id",
+) -> None:
+    """Build the IVF store: seeded k-means (init = first n_centroids
+    vectors, ``kmeans_iters`` Lloyd rounds) → final cell assignment →
+
+    - ``{out}/centroids``  (cent_id, cv)           tiny, broadcastable
+    - ``{out}/cells``      (vec_id, v) PARTITIONED BY cell
+
+    The per-vector assignment — the one shuffle the inline
+    ``ivf_ann_topk`` pays per query — happens exactly once here;
+    queries then read only ``n_probe`` cell partitions
+    (partition-pruned parquet scan) and rerank exactly. At 10^12 rows
+    this is the 100 TB plan: assignment is part of ingest, probes
+    touch n_probe/n_centroids of the data."""
+    out = str(out_dir)
+    e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
+    cents = e.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(kmeans_iters):
+        cents = _lloyd_step(_assign_cells(e, cents, id_col))
+    assign = _assign_cells(e, cents, id_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{out}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{out}/cells")
+
+
+def ivf_ann_topk_prebuilt(
+    spark: SparkSession,
+    ivf_dir,
+    embs: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over a prebuilt store (``ivf_build``): rank the stored
+    centroids against the query (tiny, collected driver-side exactly
+    like the term-dict lookup in the text engine), read ONLY the
+    n_probe winning cell partitions, exact-rerank. explain() shows a
+    PartitionFilters-pruned scan + one top-k sort — no assignment
+    window, no full-table shuffle."""
+    ivf = str(ivf_dir)
+    q = (
+        embs.filter(F.col(id_col) == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    cents = spark.read.parquet(f"{ivf}/centroids")
+    probe_rows = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "qsim",
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+        )
+        .orderBy(F.desc("qsim"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+        .collect()
+    )
+    cells = [r["cent_id"] for r in probe_rows]
+    cand = spark.read.parquet(f"{ivf}/cells").filter(F.col("cell").isin(cells))
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "cos", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 5).alias("cos_sim"))
+    )
+
+
+def ivf_prebuilt_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+) -> str:
+    """Full-pipeline DuckDB mirror of ivf_build + ivf_ann_topk_prebuilt:
+    the same seeded init, the same ROUND(…,6) Lloyd rounds unrolled as
+    CTEs, the same probe/rerank — value-identical to the Spark store."""
+    dp = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    ctes = [
+        "e AS (\n  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n)",
+        f"c0 AS (\n  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids}\n)",
+    ]
+    prev = "c0"
+    for i in range(1, kmeans_iters + 1):
+        sim = dp.format(a="e.v", b="c.cv")
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim} DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT cell AS cent_id, list(ax ORDER BY idx) AS cv FROM (
+    SELECT cell, idx, ROUND(AVG(x), 6) AS ax FROM (
+      SELECT a.cell, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS idx
+      FROM a{i} a JOIN e ON a.vec_id = e.vec_id)
+    GROUP BY cell, idx)
+  GROUP BY cell
+)"""
+        )
+        prev = f"c{i}"
+    sim_f = dp.format(a="e.v", b="c.cv")
+    ctes.append(
+        f"""assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_f} DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+)"""
+    )
+    qsim = dp.format(a="c.cv", b="q.qv")
+    cos = dp.format(a="e.v", b="q.qv")
+    ctes.append(f"q AS (\n  SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}\n)")
+    ctes.append(
+        f"""probe AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id, {qsim} AS qsim
+    FROM {prev} c CROSS JOIN q
+    ORDER BY qsim DESC, cent_id ASC LIMIT {n_probe})
+)"""
+    )
+    ctes.append(
+        "cand AS (\n  SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cent_id\n)"
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT e.vec_id, {cos} AS cos
+  FROM e JOIN cand USING (vec_id) CROSS JOIN q
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, ROUND(cos, 5) AS cos_sim
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+    )
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _IVF_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="osse_ivf_") + "/ivf"
+        ivf_build(spark, _emb(spark, sf_dir), d)
+        _IVF_CACHE[sf_dir] = d
+    return _IVF_CACHE[sf_dir]
+
+
 def driver_queries():
     return {
         "ann_cosine_topk": lambda s, d: cosine_topk(_emb(s, d), 0, 10),
@@ -486,7 +691,11 @@ def driver_queries():
         # NON-EMPTY deterministic pairs on the uniform fixture (the
         # 0.99 production setting is pinned by the perturbed-copy test)
         "embedding_near_dup": lambda s, d: embedding_near_dup(_emb(s, d), threshold=0.2),
-        "ann_ivf_topk": lambda s, d: ivf_ann_topk(_emb(s, d), 0, 10),
+        # served from the PREBUILT store: k-means cells assigned once
+        # at build, probes partition-pruned (VERDICT r02 item 7)
+        "ann_ivf_topk": lambda s, d: ivf_ann_topk_prebuilt(
+            s, _ivf_store(s, d), _emb(s, d), 0, 10
+        ),
     }
 
 
@@ -500,7 +709,9 @@ def driver_oracles():
         # tests/test_similarity.py)
         "ann_lsh_topk": lsh_ann_topk_sql(0, 10),
         "embedding_near_dup": embedding_near_dup_sql(threshold=0.2),
-        "ann_ivf_topk": ivf_ann_topk_sql(0, 10),
+        # mirrors ivf_build's k-means (unrolled Lloyd rounds) + the
+        # prebuilt probe path — the store is value-checked end-to-end
+        "ann_ivf_topk": ivf_prebuilt_sql(0, 10),
     }
 
 
