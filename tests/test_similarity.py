@@ -95,3 +95,35 @@ def test_ivf_ann_recall_vs_exact(embs):
     }
     for vid, cos in approx.items():
         assert abs(exact_all[vid] - cos) < 1e-9
+
+
+def test_ivf_prebuilt_store(embs, spark, tmp_path):
+    """ivf_build + ivf_ann_topk_prebuilt: the plan must read only the
+    probed cell partitions (no assignment window at query time), the
+    returned scores must be exact cosines, and recall must at least
+    match the inline path's floor."""
+    store = str(tmp_path / "ivf")
+    S.ivf_build(spark, embs, store)
+
+    df = S.ivf_ann_topk_prebuilt(spark, store, embs, 0, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "PartitionFilters: [cell" in plan
+
+    exact_all = {
+        r["vec_id"]: r["cos_sim"] for r in S.cosine_topk(embs, 0, k=10_000).collect()
+    }
+    rows = df.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(exact_all[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+    recalls = []
+    for qid in (0, 1, 2, 3, 4):
+        exact = {r["vec_id"] for r in S.cosine_topk(embs, qid, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in S.ivf_ann_topk_prebuilt(spark, store, embs, qid, 10).collect()
+        }
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
