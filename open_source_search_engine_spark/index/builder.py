@@ -177,8 +177,20 @@ def _encode_and_write(
     # arena scales with partition size, and first-touch of a fresh
     # arena is a fixed per-worker cost on virtualized hosts — more,
     # smaller partitions keep arenas small and reused (a worker
-    # processes many partitions with one arena) and keep waves even
-    n_shuffle = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 64)
+    # processes many partitions with one arena) and keep waves even.
+    # The floor also scales with the group count: hash-packing many
+    # (bucket, salt) groups into few partitions gives fat-partition
+    # stragglers that dominate wall clock once waves are few
+    # (measured at 512 buckets x 16 salts / 1.08M docs: encode 98.6 s
+    # at 64 partitions vs 80.1 s at 256 on 8 pinned cores — BENCH.md
+    # §sf1). ≤32 groups per partition bounds the packing variance;
+    # the 1024 cap keeps per-partition fixed costs negligible.
+    n_groups = cfg.n_buckets * cfg.n_salts
+    n_shuffle = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        64,
+        min(1024, n_groups // 32),
+    )
     salt_expr = _salt_col(F.col("doc_id"), max_doc_id, cfg.n_salts)
     # the (bucket, term, salt, doc) sort runs JVM-SIDE: Tungsten's
     # radix/binary sort is far less memory-bandwidth-hungry than a
@@ -194,19 +206,25 @@ def _encode_and_write(
             make_encode_kernel(cfg.block_size, cfg.n_buckets, max_doc_id, cfg.n_salts),
             BLOCK_SCHEMA,
         )
-        .persist()
     )
     seg_dir = index_dir / "segments" / f"generation={generation}"
     blocks.write.mode("append").partitionBy("bucket").parquet(str(seg_dir))
 
     # manifest AFTER segments land (the commit point): aggregated from
-    # the same materialized blocks that were just written — no second
-    # full read of the segment store. Every bucket this call was
-    # responsible for gets a row (empty buckets included) so a resumed
-    # build can tell "done and empty" from "not yet encoded".
+    # a COLUMN-PRUNED read-back of the files just written (bucket is
+    # the dir partition value; term_id/n_docs are tiny int columns —
+    # the blob columns are never touched). This replaces a persist()
+    # of the full encoded index, which at real scale would push the
+    # entire index bytes through executor storage memory just to count
+    # blocks. Every bucket this call was responsible for gets a row
+    # (empty ones included) so a resumed build can tell "done and
+    # empty" from "not yet encoded".
+    written = spark.read.parquet(str(seg_dir))
+    if buckets is not None:
+        written = written.filter(F.col("bucket").isin(buckets))
     man_rows = {
         r["bucket"]: r
-        for r in blocks.groupBy("bucket")
+        for r in written.groupBy("bucket")
         .agg(
             F.countDistinct("term_id").alias("n_terms"),
             F.count(F.lit(1)).alias("n_blocks"),
@@ -214,7 +232,6 @@ def _encode_and_write(
         )
         .collect()
     }
-    blocks.unpersist()
     ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     want = buckets if buckets is not None else range(cfg.n_buckets)
     rows = [
