@@ -219,7 +219,9 @@ def _encode_and_write(
     # blocks. Every bucket this call was responsible for gets a row
     # (empty ones included) so a resumed build can tell "done and
     # empty" from "not yet encoded".
-    written = spark.read.parquet(str(seg_dir))
+    # explicit schema: an empty generation (e.g. an all-stopword delta)
+    # writes no part files and schema inference would throw
+    written = spark.read.schema(BLOCK_SCHEMA).parquet(str(seg_dir))
     if buckets is not None:
         written = written.filter(F.col("bucket").isin(buckets))
     man_rows = {
