@@ -1,0 +1,136 @@
+"""TableIO — source-corpus ingestion (SURVEY.md §7 M0; §2.1 S1 row).
+
+The reference's document store is titledb, keyed by a 38-bit docId
+probed on collision (Titledb.h; XmlDoc::getDocId — SURVEY.md §1.3).
+Here the source of truth is the input table itself (BASELINE.json
+input_hint: ``(repo, path, commit, lang, content)``); this module
+turns it into the engine's canonical build input:
+
+    (doc_id long, text string, lang string [, passthrough meta cols])
+
+Format gating (SURVEY.md §7 M0): ``spark.read.format("iceberg")`` /
+``spark.read.table`` when the runtime carries the Iceberg jar, plain
+parquet otherwise — the sandbox has no iceberg-spark-runtime jar, so
+the parquet branch is what tests exercise; the iceberg branch is the
+same DataFrame from the reader on, so every downstream plan
+(pushdown, pruning, salting) is format-agnostic.
+
+doc_id assignment
+-----------------
+``doc_id = xxhash64(repo, path, commit) & MAX_LONG`` — content-
+addressed and STABLE across snapshots (the same file version always
+gets the same id), which is what makes incremental/streaming builds
+and tombstone deletes addressable without a global id registry.
+Masking to 63 bits keeps ids non-negative for the builder's
+contiguous doc_id-range salting (builder._salt_col).
+
+Collision honesty: 63-bit birthday math gives ~5e4 expected pairwise
+collisions at 10^12 docs (~1e-8 of the corpus). The reference probes
+titledb and increments the docId on collision — an inherently serial
+registry we deliberately do NOT replicate. Instead ``read_corpus``
+exposes ``check_collisions`` (one distinct-count aggregation) so a
+production build can fail loudly and route collided rows to a salted
+re-hash; at test scale the check is exact and cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_LONG = (1 << 63) - 1
+
+#: the BASELINE.json input_hint shape
+CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the JVM classpath carries the Iceberg Spark runtime."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_corpus(
+    spark: SparkSession,
+    location: str,
+    fmt: str = "auto",
+    check_collisions: bool = False,
+) -> DataFrame:
+    """Read the source corpus and canonicalize it.
+
+    fmt:
+      * ``"iceberg"`` — ``location`` is a catalog table name
+        (``db.tbl``) → ``spark.read.table``; or a path →
+        ``format("iceberg").load``. Raises if the jar is absent.
+      * ``"parquet"`` — ``spark.read.parquet(location)``.
+      * ``"auto"`` — iceberg when the jar is present AND location is
+        not an existing filesystem path; parquet otherwise.
+    """
+    if fmt == "auto":
+        fmt = "iceberg" if iceberg_available(spark) and "/" not in location else "parquet"
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' but iceberg-spark-runtime is not on the "
+                "JVM classpath; pass fmt='parquet' or add the jar"
+            )
+        df = (
+            spark.read.table(location)
+            if "/" not in location
+            else spark.read.format("iceberg").load(location)
+        )
+    elif fmt == "parquet":
+        df = spark.read.parquet(location)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return canonicalize_corpus(df, check_collisions=check_collisions)
+
+
+def canonicalize_corpus(df: DataFrame, check_collisions: bool = False) -> DataFrame:
+    """Map a source table to the engine's canonical build input.
+
+    * input_hint shape ``(repo, path, commit, lang, content)`` →
+      content-addressed ``doc_id``, ``content`` aliased to ``text``,
+      ``repo``/``path``/``commit`` kept as passthrough metadata
+      (titledb's TitleRec fields — they ride doc_meta via
+      ``extra_meta_cols`` and are never tokenized).
+    * already-canonical ``(doc_id, text, …)`` → returned as-is.
+
+    All column work is JVM-side expressions — the projection and the
+    xxhash64 fold into the scan stage, so a downstream
+    ``select("doc_id", "text")`` still prunes the parquet read to the
+    referenced source columns only.
+    """
+    cols = set(df.columns)
+    if {"doc_id", "text"} <= cols:
+        return df
+    missing = [c for c in CORPUS_COLS if c not in cols]
+    if missing:
+        raise ValueError(
+            f"corpus table lacks {missing}; expected the input_hint shape "
+            f"{CORPUS_COLS} or a canonical (doc_id, text, …) table"
+        )
+    out = df.select(
+        (
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"))
+            .bitwiseAND(F.lit(MAX_LONG))
+        ).alias("doc_id"),
+        F.col("content").alias("text"),
+        *[F.col(c) for c in df.columns if c not in ("content", "doc_id")],
+    )
+    if check_collisions:
+        n, nd = out.agg(
+            F.count("doc_id").alias("n"),
+            F.count_distinct("doc_id").alias("nd"),
+        ).first()
+        if n != nd:
+            raise ValueError(
+                f"doc_id collision: {n - nd} of {n} rows collide — "
+                "re-key with a per-snapshot salt or a registry"
+            )
+    return out
