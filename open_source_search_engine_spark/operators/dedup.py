@@ -95,7 +95,11 @@ FROM documents GROUP BY md5(text) ORDER BY content_md5"""
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold.
     (doc_id_a, doc_id_b, jaccard).
@@ -132,9 +136,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select(
-        "doc_id_a", "doc_id_b", F.round("jaccard", 5).alias("jaccard")
-    ).orderBy("doc_id_a", "doc_id_b")
+    out = out.select("doc_id_a", "doc_id_b", F.round("jaccard", 5).alias("jaccard"))
+    return out.orderBy("doc_id_a", "doc_id_b") if sort else out
 
 
 def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_df: int | None = None) -> str:
@@ -161,6 +164,118 @@ JOIN sz sa ON doc_id_a = sa.doc_id
 JOIN sz sb ON doc_id_b = sb.doc_id
 WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {threshold}
 ORDER BY doc_id_a, doc_id_b"""
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the
+    n-gram Jaccard pair graph, labelled by the component's min doc_id.
+
+    (doc_id, cluster_id, cluster_size, is_keeper) for every doc that
+    appears in at least one near-dup pair; the keeper (doc_id ==
+    cluster_id) is the canonical survivor a training pipeline retains.
+    Pairwise dedup alone under-deletes: A~B and B~C without A~C leaves
+    two of the three after pair-wise removal — component clustering is
+    the standard fix (the reference clusters results per-site via
+    Clusterdb, SURVEY.md §2.2 F7 / §2.3 J5; this is the corpus-build
+    analog).
+
+    Algorithm: hash-to-min label propagation — every node starts as
+    its own label; each round ships each node's current label to its
+    neighbors and keeps the min. Converges in O(graph diameter)
+    rounds; near-dup components are dense and shallow (diameter ≪ 10
+    in practice), and each round is one shuffle-join + one groupBy on
+    the EDGE set only (docs without near-dups never enter the loop).
+    `localCheckpoint` truncates lineage each round so the plan stays
+    O(1) deep; at 100 TB swap it for a staging-table write per round
+    (same plan, durable restart points).
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold, n, max_shingle_df, sort=False).select(
+        "doc_id_a", "doc_id_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    lbl = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        prop = edges.join(lbl, edges.src == lbl.doc_id).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new = (
+            lbl.select("doc_id", "label")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(lbl.withColumnRenamed("label", "old"), "doc_id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+    cc = lbl.withColumnRenamed("label", "cluster_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.5, max_shingle_df: int | None = None) -> str:
+    """Recursive-CTE oracle: `walk` floods every label backwards along
+    the (symmetric) edge set — UNION dedup bounds it at
+    O(component_size²) rows, exact and cheap at oracle scale — then
+    MIN(label) per node is the component's min doc_id."""
+    pairs = ngram_jaccard_sql(threshold=threshold, max_shingle_df=max_shingle_df)
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT doc_id_a, doc_id_b FROM (
+{pairs}
+  )
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+), sz AS (
+  SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size, (doc_id = cluster_id) AS is_keeper
+FROM cc JOIN sz USING (cluster_id)
+ORDER BY cluster_id, doc_id"""
 
 
 def _minhash_aggs(n_hashes: int):
@@ -481,6 +596,9 @@ def driver_queries():
             _docs(s, d), threshold=0.5, max_shingle_df=50
         ),
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d), threshold=0.5),
+        "dedup_clusters": lambda s, d: dedup_clusters(
+            _docs(s, d), threshold=0.5, max_shingle_df=50
+        ),
         "simhash_signatures": lambda s, d: simhash(_docs(s, d)),
         "simhash_near_dup": lambda s, d: simhash_near_dup(_docs(s, d), max_hamming=3),
     }
@@ -491,6 +609,7 @@ def driver_oracles():
         "dedup_exact": dedup_exact_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_sql(threshold=0.5, max_shingle_df=50),
         "dedup_minhash_lsh": minhash_lsh_sql(threshold=0.5),
+        "dedup_clusters": dedup_clusters_sql(threshold=0.5, max_shingle_df=50),
         "simhash_signatures": simhash_sql(),
         "simhash_near_dup": simhash_near_dup_sql(max_hamming=3),
     }

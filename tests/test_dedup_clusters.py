@@ -1,0 +1,72 @@
+"""dedup_clusters — connected components over the near-dup pair graph.
+
+Pins the transitivity semantics pairwise dedup misses: a chain
+A~B, B~C with A!~C must land in ONE cluster with min-doc_id keeper,
+and docs with no near-dup pair stay out of the output entirely.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from open_source_search_engine_spark.operators.dedup import (
+    dedup_clusters,
+    ngram_jaccard_pairs,
+)
+
+WORDS = [f"w{i}" for i in range(1, 30)]
+
+
+def _doc(lo: int, hi: int) -> str:
+    return " ".join(WORDS[lo - 1 : hi])
+
+
+def _chain_docs(spark):
+    # overlapping 10-token windows, stride 3: adjacent docs share 5 of
+    # 11 distinct shingles (J≈0.4545), next-but-one only 2 of 14
+    # (J≈0.143) — threshold 0.4 yields edges 1-2, 2-3, 3-4 only
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 99],
+            "text": [
+                _doc(1, 10),
+                _doc(4, 13),
+                _doc(7, 16),
+                _doc(10, 19),
+                "zz yy xx ww vv uu",  # singleton: no near-dup pair
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_chain_collapses_to_one_cluster(spark):
+    docs = _chain_docs(spark)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in pairs} == {(1, 2), (2, 3), (3, 4)}
+
+    out = dedup_clusters(docs, threshold=0.4).collect()
+    # the 3-hop chain needs >1 propagation round to reach doc 4
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}  # singleton 99 absent
+    assert all(r.cluster_id == 1 for r in out)
+    assert all(r.cluster_size == 4 for r in out)
+    assert [r.doc_id for r in out if r.is_keeper] == [1]
+
+
+def test_independent_clusters_stay_separate(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 20, 21],
+            "text": [_doc(1, 10), _doc(1, 10), _doc(15, 24), _doc(15, 24)],
+        }
+    )
+    out = dedup_clusters(spark.createDataFrame(pdf), threshold=0.4)
+    got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in out.collect()}
+    assert got == {(10, 10, 2), (11, 10, 2), (20, 20, 2), (21, 20, 2)}
+
+
+def test_no_pairs_empty_output(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [_doc(1, 10), "zz yy xx ww vv uu"]})
+    df = dedup_clusters(spark.createDataFrame(pdf), threshold=0.4)
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "cluster_id", "cluster_size", "is_keeper"]
