@@ -243,6 +243,70 @@ FROM votes v JOIN ar ON v.doc_id = ar.doc_id
 ORDER BY v.doc_id"""
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.2,
+    bench_mod: int = 20,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose n-gram
+    shingle overlap with an eval/benchmark set reaches ``threshold``.
+
+    (doc_id, n_sh, n_hit, overlap) for flagged docs — an LLM pipeline
+    drops (or audits) these before training so eval answers don't leak
+    into the train split. ``bench_docs`` defaults to a deterministic
+    synthetic eval slice (doc_id % bench_mod == 0), which the sandbox
+    uses in place of external benchmark data; production passes the
+    real eval set.
+
+    Plan (100 TB shape): the benchmark shingle set is tiny next to the
+    corpus, so it is BROADCAST — the corpus-side shingle stream gets a
+    map-side hash probe (no shuffle of corpus shingles against the
+    bench side), and per-doc n_sh/n_hit fold into ONE groupBy(doc_id)
+    shuffle. Corpus docs that ARE the benchmark slice are anti-joined
+    out first.
+    """
+    from open_source_search_engine_spark.operators.dedup import _shingles
+
+    if bench_docs is None:
+        bench_docs = docs.filter(F.col("doc_id") % bench_mod == 0)
+    bench_ids = bench_docs.select("doc_id")
+    train = docs.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+    bsh = _shingles(bench_docs, n).select("shingle").distinct().withColumn("hit", F.lit(1))
+    agg = (
+        _shingles(train, n)
+        .join(F.broadcast(bsh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap", F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 5)
+        )
+    )
+    return agg.filter(F.col("overlap") >= threshold).orderBy("doc_id")
+
+
+def decontaminate_sql(n: int = 3, threshold: float = 0.2, bench_mod: int = 20) -> str:
+    from open_source_search_engine_spark.operators.dedup import _SHINGLES_SQL
+
+    assert n == 3, "SQL oracle is pinned to 3-gram shingles"
+    return f"""{_SHINGLES_SQL}, bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0
+), train AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> 0
+), agg AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_sh, COUNT(b.shingle)::BIGINT AS n_hit
+  FROM train t LEFT JOIN bench b USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_sh, n_hit, ROUND(n_hit::DOUBLE / n_sh, 5) AS overlap
+FROM agg WHERE ROUND(n_hit::DOUBLE / n_sh, 5) >= {threshold}
+ORDER BY doc_id"""
+
+
 def driver_queries():
     return {
         "token_counts": lambda s, d: token_counts(_docs(s, d)),
@@ -250,6 +314,7 @@ def driver_queries():
         "text_quality": lambda s, d: text_quality(_docs(s, d)),
         "doc_fingerprint": lambda s, d: doc_fingerprint(_docs(s, d)),
         "lang_id_heuristic": lambda s, d: lang_id(_docs(s, d)),
+        "decontaminate": lambda s, d: decontaminate(_docs(s, d)),
     }
 
 
@@ -260,6 +325,7 @@ def driver_oracles():
         "text_quality": text_quality_sql(),
         "doc_fingerprint": doc_fingerprint_sql(),
         "lang_id_heuristic": lang_id_sql(),
+        "decontaminate": decontaminate_sql(),
     }
 
 
