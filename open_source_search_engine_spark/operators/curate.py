@@ -1,0 +1,118 @@
+"""Corpus curation: compose the pipeline operators into one
+training-split decision per document.
+
+A 100 TB training-data run doesn't call quality / dedup / decontam
+as separate audits — it wants ONE labelled pass: which docs survive,
+and why each dropped doc dropped. ``curate_corpus`` composes the
+already-tested primitives (textstats.text_quality, dedup.dedup_exact,
+dedup.dedup_clusters, textstats.decontaminate) into that decision
+table. The reference has no corpus-curation surface (it filters at
+query time — Msg40 dedup/family filter, SURVEY.md §2.2 F6/F7); this
+is the build-time analog an LLM pipeline needs.
+
+Plan shape: every component is one shuffle keyed by doc_id (quality
+agg, exact-dup keeper agg, broadcast decontam probe) except near-dup
+clustering (O(diameter) rounds over the pair graph only, see
+dedup.dedup_clusters). The final assembly is doc_id-keyed left joins
+— co-partitioned after the first shuffle, no extra wide nodes. Drop
+reasons resolve in a fixed priority so a doc gets ONE deterministic
+verdict: too_short > low_quality > duplicate > contaminated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators import dedup as _dedup
+from open_source_search_engine_spark.operators import textstats as _ts
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 5,
+    max_stopword_ratio: float | None = None,
+    min_distinct_ratio: float | None = None,
+    dedup: str = "exact",
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    decontam_threshold: float | None = None,
+    bench_docs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, keep, drop_reason) for every input doc.
+
+    * ``min_tokens`` / ``max_stopword_ratio`` / ``min_distinct_ratio``
+      — Gopher-style scalar quality gates over text_quality features.
+    * ``dedup`` — ``"exact"`` keeps the min-doc_id copy per identical
+      text; ``"cluster"`` additionally collapses near-dup CHAINS via
+      dedup_clusters (transitive closure, min-doc_id keeper);
+      ``"none"`` skips.
+    * ``decontam_threshold`` — when set, drops docs whose shingle
+      overlap with ``bench_docs`` (or the synthetic eval slice)
+      reaches the threshold; the bench slice itself is dropped too
+      (reason ``benchmark``) so eval rows never reach training.
+    """
+    if dedup not in ("exact", "cluster", "none"):
+        raise ValueError(f"dedup must be exact|cluster|none, got {dedup!r}")
+
+    q = _ts.text_quality(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio"
+    )
+    out = docs.select("doc_id").join(q, "doc_id", "left")
+
+    # quality gates (docs with NO tokens have no quality row → too_short)
+    too_short = F.col("n_tokens").isNull() | (F.col("n_tokens") < min_tokens)
+    low_quality = F.lit(False)
+    if max_stopword_ratio is not None:
+        low_quality = low_quality | (F.col("stopword_ratio") > max_stopword_ratio)
+    if min_distinct_ratio is not None:
+        low_quality = low_quality | (F.col("distinct_ratio") < min_distinct_ratio)
+
+    dup = F.lit(False)
+    if dedup != "none":
+        keepers = _dedup.dedup_exact(docs).select(
+            F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("exact_keeper")
+        )
+        out = out.join(keepers, "doc_id", "left")
+        dup = F.col("exact_keeper").isNull()
+        if dedup == "cluster":
+            cc = _dedup.dedup_clusters(
+                docs, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
+            ).select("doc_id", "is_keeper")
+            out = out.join(cc, "doc_id", "left")
+            # a near-dup component keeps exactly its min doc_id; docs
+            # outside any component keep their exact-dedup verdict
+            dup = dup | (F.col("is_keeper") == F.lit(False))
+
+    contaminated = F.lit(False)
+    bench_member = F.lit(False)
+    if decontam_threshold is not None:
+        flagged = _ts.decontaminate(
+            docs, bench_docs=bench_docs, threshold=decontam_threshold
+        ).select("doc_id", F.lit(1).alias("contam"))
+        out = out.join(F.broadcast(flagged), "doc_id", "left")
+        contaminated = F.col("contam").isNotNull()
+        bench_ids = (
+            bench_docs.select("doc_id")
+            if bench_docs is not None
+            else docs.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+        )
+        out = out.join(
+            F.broadcast(bench_ids.withColumn("is_bench", F.lit(1))), "doc_id", "left"
+        )
+        bench_member = F.col("is_bench").isNotNull()
+
+    reason = (
+        F.when(too_short, F.lit("too_short"))
+        .when(low_quality, F.lit("low_quality"))
+        .when(dup, F.lit("duplicate"))
+        .when(bench_member, F.lit("benchmark"))
+        .when(contaminated, F.lit("contaminated"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    ).orderBy("doc_id")
