@@ -96,7 +96,7 @@ def curate_corpus(
         bench_ids = (
             bench_docs.select("doc_id")
             if bench_docs is not None
-            else docs.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+            else docs.filter(F.col("doc_id") % _ts.DEFAULT_BENCH_MOD == 0).select("doc_id")
         )
         out = out.join(
             F.broadcast(bench_ids.withColumn("is_bench", F.lit(1))), "doc_id", "left"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from open_source_search_engine_spark.operators.postings import doc_tokens
 
 STOPWORDS = ("the", "a")  # pinned tiny set present in the fixture vocab
+DEFAULT_BENCH_MOD = 20  # synthetic eval slice: doc_id % mod == 0 (sandbox stand-in)
 
 _TOKS_SQL = """
 WITH toks AS (
@@ -248,7 +249,7 @@ def decontaminate(
     bench_docs: DataFrame | None = None,
     n: int = 3,
     threshold: float = 0.2,
-    bench_mod: int = 20,
+    bench_mod: int = DEFAULT_BENCH_MOD,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs whose n-gram
     shingle overlap with an eval/benchmark set reaches ``threshold``.
@@ -289,7 +290,7 @@ def decontaminate(
     return agg.filter(F.col("overlap") >= threshold).orderBy("doc_id")
 
 
-def decontaminate_sql(n: int = 3, threshold: float = 0.2, bench_mod: int = 20) -> str:
+def decontaminate_sql(n: int = 3, threshold: float = 0.2, bench_mod: int = DEFAULT_BENCH_MOD) -> str:
     from open_source_search_engine_spark.operators.dedup import _SHINGLES_SQL
 
     assert n == 3, "SQL oracle is pinned to 3-gram shingles"
