@@ -198,6 +198,16 @@ def dedup_clusters(
     pairs = ngram_jaccard_pairs(docs, threshold, n, max_shingle_df, sort=False).select(
         "doc_id_a", "doc_id_b"
     )
+    return connected_components(pairs, max_iter=max_iter)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Hash-to-min connected components over an undirected pair list
+    (doc_id_a, doc_id_b) → (doc_id, cluster_id, cluster_size,
+    is_keeper), cluster_id = component min doc_id. See dedup_clusters
+    for the scale argument; this is the generic graph kernel (any
+    similarity pair producer — Jaccard, MinHash-LSH verify, SimHash,
+    embedding near-dup — can feed it)."""
     edges = (
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
         .toDF("src", "dst")
@@ -233,7 +243,7 @@ def dedup_clusters(
             break
     edges.unpersist()
     if not converged:
-        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     cc = lbl.withColumnRenamed("label", "cluster_id")
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -70,3 +70,55 @@ def test_no_pairs_empty_output(spark):
     df = dedup_clusters(spark.createDataFrame(pdf), threshold=0.4)
     assert df.count() == 0
     assert df.columns == ["doc_id", "cluster_id", "cluster_size", "is_keeper"]
+
+
+# --- property test: the Spark kernel vs a pure-Python union-find ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in list(parent):
+        out[n] = find(n)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 25), st.integers(1, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from open_source_search_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id_a": [min(a, b) for a, b in edges],
+                "doc_id_b": [max(a, b) for a, b in edges],
+            }
+        )
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    want = _uf_components(edges)
+    assert got == want
+    # cluster_id is always the component min
+    assert all(cid == min(k for k, v in got.items() if v == cid) for cid in set(got.values()))
