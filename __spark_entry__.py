@@ -267,7 +267,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The unpacked per-implementation callables (one per path /
-    variant, 75 total). bench.py times these so its numbers stay
+    variant, 77 total). bench.py times these so its numbers stay
     comparable across rounds; the driver sees the packed queries()."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- full-text core (SURVEY §2.2-2.7) ---

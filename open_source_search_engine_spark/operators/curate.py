@@ -71,14 +71,29 @@ def curate_corpus(
 
     dup = F.lit(False)
     if dedup != "none":
-        keepers = _dedup.dedup_exact(docs).select(
+        # dedup runs over QUALITY-PASSING docs only: otherwise a
+        # cluster whose min-doc_id keeper itself fails a quality gate
+        # would lose every copy of the content (keeper dropped as
+        # too_short/low_quality, the rest as duplicates). Restricting
+        # the graph to survivors re-picks the keeper among docs that
+        # can actually be kept. Exact dups share identical text (and
+        # thus identical quality), so this only changes near-dup
+        # clusters.
+        pass_ids = (
+            docs.select("doc_id")
+            .join(q, "doc_id", "left")
+            .where(~(too_short | low_quality))
+            .select("doc_id")
+        )
+        clean = docs.join(pass_ids, "doc_id", "left_semi")
+        keepers = _dedup.dedup_exact(clean).select(
             F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("exact_keeper")
         )
         out = out.join(keepers, "doc_id", "left")
-        dup = F.col("exact_keeper").isNull()
+        dup = ~(too_short | low_quality) & F.col("exact_keeper").isNull()
         if dedup == "cluster":
             cc = _dedup.dedup_clusters(
-                docs, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
+                clean, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
             ).select("doc_id", "is_keeper")
             out = out.join(cc, "doc_id", "left")
             # a near-dup component keeps exactly its min doc_id; docs
@@ -91,16 +106,19 @@ def curate_corpus(
         flagged = _ts.decontaminate(
             docs, bench_docs=bench_docs, threshold=decontam_threshold
         ).select("doc_id", F.lit(1).alias("contam"))
-        out = out.join(F.broadcast(flagged), "doc_id", "left")
+        # plain doc_id-keyed joins (co-partitioned with the rest of the
+        # assembly): the flagged set and the bench-id set are unbounded
+        # fractions of the corpus, so broadcasting them would funnel
+        # corpus-scale data through the driver — the broadcast belongs
+        # only to the tiny eval-SHINGLE set inside decontaminate.
+        out = out.join(flagged, "doc_id", "left")
         contaminated = F.col("contam").isNotNull()
         bench_ids = (
             bench_docs.select("doc_id")
             if bench_docs is not None
             else docs.filter(F.col("doc_id") % _ts.DEFAULT_BENCH_MOD == 0).select("doc_id")
         )
-        out = out.join(
-            F.broadcast(bench_ids.withColumn("is_bench", F.lit(1))), "doc_id", "left"
-        )
+        out = out.join(bench_ids.withColumn("is_bench", F.lit(1)), "doc_id", "left")
         bench_member = F.col("is_bench").isNotNull()
 
     reason = (

@@ -184,7 +184,7 @@ def scored_matches(
         tp = tp.join(require_docs.select("doc_id"), "doc_id", "left_semi")
     if exclude_docs is not None:
         tp = tp.join(exclude_docs.select("doc_id"), "doc_id", "left_anti")
-    if groups is not None:
+    if groups:  # groups=[] is a no-op, mirroring bm25_scores
         gid = None
         for i, g in enumerate(groups):
             tids = sorted(tmap[t] for t in set(g) if t in tmap)
@@ -192,6 +192,10 @@ def scored_matches(
                 continue
             cond = F.col("term_id").isin(tids)
             gid = F.when(cond, i) if gid is None else gid.when(cond, i)
+        if gid is None:
+            # OR mode with no group member in the term dictionary:
+            # no group can contribute a match
+            return spark.createDataFrame([], "doc_id long, _score double")
         agg = tp.withColumn("gid", gid).groupBy("doc_id").agg(
             F.sum("score").alias("_score"),
             F.countDistinct("gid").alias("_nterms"),

@@ -400,7 +400,10 @@ def ivf_ann_topk(
     candidates ~ n_probe/n_centroids of the table instead of all of
     it. Recall/latency dial = n_probe."""
     e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
-    cents = e.filter(F.col(id_col) < n_centroids).select(
+    # seed = the n_centroids SMALLEST ids (id-agnostic: works for
+    # 0-based fixture ids and content-addressed 63-bit ids alike;
+    # `id < n` would silently select nothing under hashed ids)
+    cents = e.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
     )
     # assign every vector to its max-cosine centroid (broadcast + window)
@@ -451,7 +454,8 @@ def ivf_ann_topk_sql(
     return f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids}
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_centroids})
 ), pairs AS (
   SELECT e.vec_id, c.cent_id,
          list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
@@ -537,7 +541,10 @@ def ivf_build(
     touch n_probe/n_centroids of the data."""
     out = str(out_dir)
     e = embs.select(id_col, F.col("embedding").cast("array<double>").alias("v"))
-    cents = e.filter(F.col(id_col) < n_centroids).select(
+    # seed = the n_centroids SMALLEST ids (id-agnostic: works for
+    # 0-based fixture ids and content-addressed 63-bit ids alike;
+    # `id < n` would silently select nothing under hashed ids)
+    cents = e.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
     )
     for _ in range(kmeans_iters):
@@ -607,7 +614,8 @@ def ivf_prebuilt_sql(
     )
     ctes = [
         "e AS (\n  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n)",
-        f"c0 AS (\n  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {n_centroids}\n)",
+        "c0 AS (\n  SELECT vec_id AS cent_id, v AS cv FROM e\n"
+        f"  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_centroids})\n)",
     ]
     prev = "c0"
     for i in range(1, kmeans_iters + 1):

@@ -72,7 +72,10 @@ def read_corpus(
         not an existing filesystem path; parquet otherwise.
     """
     if fmt == "auto":
-        fmt = "iceberg" if iceberg_available(spark) and "/" not in location else "parquet"
+        from pathlib import Path
+
+        is_path = "/" in location or Path(location).exists()
+        fmt = "iceberg" if iceberg_available(spark) and not is_path else "parquet"
     if fmt == "iceberg":
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -121,7 +124,9 @@ def canonicalize_corpus(df: DataFrame, check_collisions: bool = False) -> DataFr
             .bitwiseAND(F.lit(MAX_LONG))
         ).alias("doc_id"),
         F.col("content").alias("text"),
-        *[F.col(c) for c in df.columns if c not in ("content", "doc_id")],
+        # a pre-existing `text` column would collide with the aliased
+        # content — it loses to the input_hint mapping
+        *[F.col(c) for c in df.columns if c not in ("content", "doc_id", "text")],
     )
     if check_collisions:
         n, nd = out.agg(

@@ -81,3 +81,25 @@ def test_decontamination_drops_bench_and_overlap(spark):
     assert out[1] == (False, "contaminated")  # verbatim eval copy
     assert out[2] == (True, None)
     assert out[100] == (False, "benchmark")  # the eval row itself never trains
+
+
+def test_cluster_keeper_dropped_by_quality_does_not_lose_content(spark):
+    # near-dup pair where the min-doc_id copy fails the length gate:
+    # the keeper must be re-picked among quality-passing docs, never
+    # dropping every copy of the content
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [_doc(1, 4), _doc(1, 8)],  # J = 2/6 = 0.333
+            }
+        )
+    )
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in curate_corpus(
+            docs, min_tokens=5, dedup="cluster", jaccard_threshold=0.3
+        ).collect()
+    }
+    assert out[1] == (False, "too_short")
+    assert out[2] == (True, None)  # sole surviving copy is kept

@@ -110,3 +110,19 @@ def test_build_from_ingested_corpus_sha_invariant(spark, corpus_path, tmp_path):
     # the store is queryable end-to-end off the ingested ids
     top = wand.wand_topk(spark, idx, ["def", "return"], k=5, mode="or")
     assert top.count() > 0
+
+
+def test_preexisting_text_column_does_not_collide(spark):
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"],
+            "path": ["p"],
+            "commit": ["c"],
+            "lang": ["py"],
+            "content": ["real body"],
+            "text": ["stale column"],
+        }
+    )
+    out = canonicalize_corpus(spark.createDataFrame(pdf))
+    assert out.columns.count("text") == 1
+    assert out.select("text").first().text == "real body"
