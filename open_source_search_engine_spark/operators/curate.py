@@ -47,7 +47,8 @@ def curate_corpus(
     * ``dedup`` — ``"exact"`` keeps the min-doc_id copy per identical
       text; ``"cluster"`` additionally collapses near-dup CHAINS via
       dedup_clusters (transitive closure, min-doc_id keeper);
-      ``"none"`` skips.
+      ``"none"`` skips. Keepers are picked among QUALITY-PASSING docs
+      so a gate-failing keeper never drops its whole cluster.
     * ``decontam_threshold`` — when set, drops docs whose shingle
       overlap with ``bench_docs`` (or the synthetic eval slice)
       reaches the threshold; the bench slice itself is dropped too
