@@ -240,6 +240,49 @@ def _wand_q(terms: list[str], mode: str):
     return run
 
 
+STOPWORDS_FIXTURE = ("a", "the")  # present in the fixture vocab; no doc is all-stopword
+
+
+def _segment_index_stopworded(spark: SparkSession, sf_dir: str) -> Path:
+    """Store built with stopwords enabled (X6 — Words.cpp isStopWord /
+    the indexable-word filter): doc_len, df and avgdl all reflect the
+    KEPT token stream, so scores differ from the plain store and the
+    oracle must filter identically (oracle_sql._prelude(stopwords))."""
+    key = sf_dir + "#stop"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+
+        d = Path(tempfile.mkdtemp(prefix="osse_stop_")) / "idx"
+        idx_builder.build_index(
+            spark,
+            _docs(spark, sf_dir),
+            d,
+            cfg=EngineConfig(
+                n_buckets=8,
+                n_salts=2,
+                block_size=64,
+                stopwords=frozenset(STOPWORDS_FIXTURE),
+            ),
+            text_col="text",
+        )
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+def _wand_stopworded_q(terms: list[str], mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from open_source_search_engine_spark.index import wand as idx_wand
+
+        return idx_wand.wand_topk(
+            spark, _segment_index_stopworded(spark, sf_dir), terms, k=10, mode=mode
+        )
+
+    return run
+
+
 def _idx_q(fn_name: str, **kwargs):
     """Driver entry for an operators.indexed function, bound to the
     per-sf segment store."""
@@ -267,7 +310,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The unpacked per-implementation callables (one per path /
-    variant, 77 total). bench.py times these so its numbers stay
+    variant, 78 total). bench.py times these so its numbers stay
     comparable across rounds; the driver sees the packed queries()."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- full-text core (SURVEY §2.2-2.7) ---
@@ -304,6 +347,9 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _wand_q(FLAGSHIP_TERMS, "and"),
         "wand_topk_or": _wand_q(["dup", "merge"], "or"),
         "wand_topk_3term": _wand_q(["dup", "key", "scan"], "or"),
+        # X6: same query against the stopworded store — doc_len/df/
+        # avgdl all change, the oracle filters the same stopword set
+        "wand_topk_stopworded": _wand_stopworded_q(FLAGSHIP_TERMS, "and"),
         # --- index-backed operators (index/lists.py + operators/
         # indexed.py): the SAME oracles as the corpus-algebra entries
         # above, but served entirely from the segment store — decoded
@@ -392,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk": osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10, mode="and"),
         "wand_topk_or": osql.bm25_topk_sql(["dup", "merge"], k=10, mode="or"),
         "wand_topk_3term": osql.bm25_topk_sql(["dup", "key", "scan"], k=10, mode="or"),
+        "wand_topk_stopworded": osql.bm25_topk_sql(
+            FLAGSHIP_TERMS, k=10, mode="and", stopwords=STOPWORDS_FIXTURE
+        ),
         # indexed twins: IDENTICAL oracles to the corpus-algebra
         # entries — the driver proves the segment store serves every
         # operator with the same answers
@@ -632,6 +681,7 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         ("and2", "wand_topk"),
         ("or2", "wand_topk_or"),
         ("or3", "wand_topk_3term"),
+        ("stop", "wand_topk_stopworded"),
     ],
     "query_language": [
         ("basic", "query_language"),

@@ -17,12 +17,20 @@ def _terms_list(terms: list[str]) -> str:
 
 
 # shared CTE prelude: tokenization + doc lengths + corpus stats
-_PRELUDE = """
+def _prelude(stopwords: tuple = ()) -> str:
+    """With ``stopwords``, the kept-token stream (and therefore
+    doc_len, df, avgdl) excludes them — the oracle twin of a build
+    with EngineConfig(stopwords=...) (X6; the fixture corpus has no
+    all-stopword doc, so n_docs is unchanged by the filter)."""
+    stop = (
+        " AND term NOT IN (" + _terms_list(list(stopwords)) + ")" if stopwords else ""
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents
 ), toks_f AS (
-  SELECT doc_id, term FROM toks WHERE term <> ''
+  SELECT doc_id, term FROM toks WHERE term <> ''{stop}
 ), dl AS (
   SELECT doc_id, COUNT(*)::BIGINT AS doc_len FROM toks_f GROUP BY doc_id
 ), stats AS (
@@ -30,11 +38,15 @@ WITH toks AS (
 )"""
 
 
+_PRELUDE = _prelude()
+
+
 def bm25_topk_sql(
     terms: list[str],
     k: int = 10,
     mode: str = "and",
     lang: str | None = None,
+    stopwords: tuple = (),
 ) -> str:
     """Mirror of operators.bm25.bm25_topk_oracle."""
     tl = _terms_list(terms)
@@ -45,7 +57,7 @@ def bm25_topk_sql(
         else ""
     )
     having = f"HAVING COUNT(*) = {n_terms}" if mode == "and" else ""
-    return f"""{_PRELUDE}, q_df AS (
+    return f"""{_prelude(stopwords)}, q_df AS (
   SELECT term, COUNT(*)::DOUBLE AS df
   FROM (SELECT DISTINCT doc_id, term FROM toks_f WHERE term IN ({tl}))
   GROUP BY term
