@@ -133,13 +133,11 @@ def _lsm_index(spark: SparkSession, sf_dir: str) -> Path:
             "text", F.concat(F.col("text"), F.lit(LSM_SUFFIX))
         )
         idx_merge.add_documents(spark, upd, d, replace=True)
-        dead = [
-            r["doc_id"]
-            for r in docs.filter(F.col("doc_id") % 100 == 7)
-            .select("doc_id")
-            .collect()
-        ]
-        idx_merge.delete_documents(spark, d, dead)
+        # DataFrame overload: mass deletes stay distributed (never
+        # collected to the driver)
+        idx_merge.delete_documents(
+            spark, d, docs.filter(F.col("doc_id") % 100 == 7).select("doc_id")
+        )
         _IDX_CACHE[key] = d
     return _IDX_CACHE[key]
 

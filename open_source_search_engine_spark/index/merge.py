@@ -85,13 +85,26 @@ def current_generations(index_dir: str | Path) -> list[int]:
 
 
 def delete_documents(
-    spark: SparkSession, index_dir: str | Path, doc_ids: list[int]
+    spark: SparkSession, index_dir: str | Path, doc_ids: list[int] | DataFrame
 ) -> None:
     """Tombstone: annihilates every posting of doc_id from generations
-    strictly below the next generation number."""
+    strictly below the next generation number.
+
+    ``doc_ids`` — a small Python list is written driver-side (a delete
+    of a handful of ids shouldn't pay a Spark job); a DataFrame with a
+    ``doc_id`` column is appended DISTRIBUTED, so mass deletes (a
+    retention sweep, a licence takedown over millions of docs) never
+    route ids through the driver — the same fan-out the replace branch
+    of add_documents uses."""
     index_dir = Path(index_dir)
     gen = max(current_generations(index_dir), default=0) + 1
-    _write_tombstones(index_dir, doc_ids, gen)
+    if isinstance(doc_ids, DataFrame):
+        doc_ids.select(
+            F.col("doc_id").cast("long"),
+            F.lit(gen).cast("int").alias("before_generation"),
+        ).write.mode("append").parquet(str(index_dir / "tombstones"))
+    else:
+        _write_tombstones(index_dir, doc_ids, gen)
 
 
 def add_documents(

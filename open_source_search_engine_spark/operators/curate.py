@@ -16,7 +16,11 @@ clustering (O(diameter) rounds over the pair graph only, see
 dedup.dedup_clusters). The final assembly is doc_id-keyed left joins
 — co-partitioned after the first shuffle, no extra wide nodes. Drop
 reasons resolve in a fixed priority so a doc gets ONE deterministic
-verdict: too_short > low_quality > duplicate > contaminated.
+verdict: too_short > low_quality > benchmark > duplicate >
+contaminated (benchmark outranks duplicate because bench docs are
+excluded from keeper eligibility — see the dedup note below — so a
+bench doc in a dup group must still surface as ``benchmark``, not as
+a duplicate of a keeper it can no longer be).
 """
 
 from __future__ import annotations
@@ -39,6 +43,8 @@ def curate_corpus(
     max_shingle_df: int | None = None,
     decontam_threshold: float | None = None,
     bench_docs: DataFrame | None = None,
+    cc_max_iter: int = 30,
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, keep, drop_reason) for every input doc.
 
@@ -53,6 +59,15 @@ def curate_corpus(
       overlap with ``bench_docs`` (or the synthetic eval slice)
       reaches the threshold; the bench slice itself is dropped too
       (reason ``benchmark``) so eval rows never reach training.
+      Bench docs are ALSO excluded from dedup keeper eligibility: a
+      bench doc always drops, so letting it win a near-dup cluster's
+      min-doc_id keeper slot would drop every training copy of that
+      content — the same keeper-loss failure the quality-gate
+      restriction prevents.
+    * ``cc_max_iter`` / ``cc_checkpoint_dir`` — forwarded to
+      dedup_clusters' connected-components rounds (high-diameter
+      chains need more rounds; a checkpoint dir makes rounds durable
+      at 100 TB).
     """
     if dedup not in ("exact", "cluster", "none"):
         raise ValueError(f"dedup must be exact|cluster|none, got {dedup!r}")
@@ -70,22 +85,35 @@ def curate_corpus(
     if min_distinct_ratio is not None:
         low_quality = low_quality | (F.col("distinct_ratio") < min_distinct_ratio)
 
+    bench_ids = None
+    if decontam_threshold is not None:
+        bench_ids = (
+            bench_docs.select("doc_id")
+            if bench_docs is not None
+            else docs.filter(F.col("doc_id") % _ts.DEFAULT_BENCH_MOD == 0).select("doc_id")
+        )
+
     dup = F.lit(False)
     if dedup != "none":
-        # dedup runs over QUALITY-PASSING docs only: otherwise a
-        # cluster whose min-doc_id keeper itself fails a quality gate
-        # would lose every copy of the content (keeper dropped as
-        # too_short/low_quality, the rest as duplicates). Restricting
-        # the graph to survivors re-picks the keeper among docs that
-        # can actually be kept. Exact dups share identical text (and
-        # thus identical quality), so this only changes near-dup
-        # clusters.
+        # dedup runs over docs that can actually be KEPT: otherwise a
+        # cluster whose min-doc_id keeper itself always drops (fails a
+        # quality gate, or IS a benchmark row) would lose every copy
+        # of the content (keeper dropped as too_short/low_quality/
+        # benchmark, the rest as duplicates). Restricting the graph to
+        # survivors re-picks the keeper among keepable docs. Exact
+        # dups share identical text (and thus identical quality), so
+        # the quality part only changes near-dup clusters; the bench
+        # part matters for exact dups too (an exact training copy of
+        # a bench doc is contaminated anyway — overlap 1.0 — so no
+        # leak escapes through this path).
         pass_ids = (
             docs.select("doc_id")
             .join(q, "doc_id", "left")
             .where(~(too_short | low_quality))
             .select("doc_id")
         )
+        if bench_ids is not None:
+            pass_ids = pass_ids.join(bench_ids, "doc_id", "left_anti")
         clean = docs.join(pass_ids, "doc_id", "left_semi")
         keepers = _dedup.dedup_exact(clean).select(
             F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("exact_keeper")
@@ -94,7 +122,11 @@ def curate_corpus(
         dup = ~(too_short | low_quality) & F.col("exact_keeper").isNull()
         if dedup == "cluster":
             cc = _dedup.dedup_clusters(
-                clean, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
+                clean,
+                threshold=jaccard_threshold,
+                max_shingle_df=max_shingle_df,
+                max_iter=cc_max_iter,
+                checkpoint_dir=cc_checkpoint_dir,
             ).select("doc_id", "is_keeper")
             out = out.join(cc, "doc_id", "left")
             # a near-dup component keeps exactly its min doc_id; docs
@@ -114,19 +146,14 @@ def curate_corpus(
         # only to the tiny eval-SHINGLE set inside decontaminate.
         out = out.join(flagged, "doc_id", "left")
         contaminated = F.col("contam").isNotNull()
-        bench_ids = (
-            bench_docs.select("doc_id")
-            if bench_docs is not None
-            else docs.filter(F.col("doc_id") % _ts.DEFAULT_BENCH_MOD == 0).select("doc_id")
-        )
         out = out.join(bench_ids.withColumn("is_bench", F.lit(1)), "doc_id", "left")
         bench_member = F.col("is_bench").isNotNull()
 
     reason = (
         F.when(too_short, F.lit("too_short"))
         .when(low_quality, F.lit("low_quality"))
-        .when(dup, F.lit("duplicate"))
         .when(bench_member, F.lit("benchmark"))
+        .when(dup, F.lit("duplicate"))
         .when(contaminated, F.lit("contaminated"))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
+# Verify-join strategy cap for minhash_lsh_pairs: candidate PAIR
+# counts at or below this broadcast (map-side probe of the shingle
+# stream); above it the verify uses plain shuffle semi-joins, because
+# a 30-50 %-duplicate corpus makes candidates corpus-scale and a
+# broadcast would funnel them through the driver. ~1e6 pairs ≈ 16 MB
+# of packed longs — comfortably inside executor broadcast budgets.
+LSH_BROADCAST_MAX_CANDIDATES = 1_000_000
 # 64-bit simhash, 4 bands × 16 bits (VERDICT r01: 8-bit band keys give
 # only 256 buckets → quadratic band self-joins at scale; 16-bit keys
 # give 65 536). 4 bands still guarantee hamming ≤ 3 ⇒ ≥1 identical
@@ -172,6 +179,7 @@ def dedup_clusters(
     n: int = 3,
     max_shingle_df: int | None = None,
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTER assignment: connected components over the
     n-gram Jaccard pair graph, labelled by the component's min doc_id.
@@ -191,45 +199,67 @@ def dedup_clusters(
     rounds; near-dup components are dense and shallow (diameter ≪ 10
     in practice), and each round is one shuffle-join + one groupBy on
     the EDGE set only (docs without near-dups never enter the loop).
-    `localCheckpoint` truncates lineage each round so the plan stays
-    O(1) deep; at 100 TB swap it for a staging-table write per round
-    (same plan, durable restart points).
+    Long CHAINS (templated / stride-shingled corpora) can exceed the
+    default round budget: raise ``max_iter`` (each extra round is one
+    cheap edge-set join) — the non-convergence failure mode is pinned
+    in tests/test_dedup_clusters.py. ``checkpoint_dir`` makes each
+    round durable (see connected_components).
     """
     pairs = ngram_jaccard_pairs(docs, threshold, n, max_shingle_df, sort=False).select(
         "doc_id_a", "doc_id_b"
     )
-    return connected_components(pairs, max_iter=max_iter)
+    return connected_components(pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Hash-to-min connected components over an undirected pair list
     (doc_id_a, doc_id_b) → (doc_id, cluster_id, cluster_size,
     is_keeper), cluster_id = component min doc_id. See dedup_clusters
     for the scale argument; this is the generic graph kernel (any
     similarity pair producer — Jaccard, MinHash-LSH verify, SimHash,
-    embedding near-dup — can feed it)."""
+    embedding near-dup — can feed it).
+
+    Durability: by default each round truncates lineage with
+    ``localCheckpoint`` (executor-local blocks — fast, but an executor
+    loss mid-iteration kills the job). Passing ``checkpoint_dir``
+    writes each round's label table to parquet under it instead:
+    rounds become durable restart points that survive executor loss,
+    the right trade at 100 TB where a label round is small next to the
+    corpus but the job is hours long. Same plan either way — one
+    edge-set join + one groupBy per round."""
+    spark = pairs.sparkSession
+
+    def _pin(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = f"{checkpoint_dir}/labels_round_{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     edges = (
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
         .toDF("src", "dst")
         .persist()
     )
-    lbl = (
+    lbl = _pin(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc_id")),
+        0,
     )
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = edges.join(lbl, edges.src == lbl.doc_id).select(
             F.col("dst").alias("doc_id"), "label"
         )
-        new = (
+        new = _pin(
             lbl.select("doc_id", "label")
             .union(prop)
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label")),
+            rnd + 1,
         )
         changed = (
             new.join(lbl.withColumnRenamed("label", "old"), "doc_id")
@@ -243,7 +273,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             break
     edges.unpersist()
     if not converged:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the pair graph has a component of diameter > max_iter (long "
+            "near-dup chains); raise max_iter"
+        )
     cc = lbl.withColumnRenamed("label", "cluster_id")
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -305,10 +339,20 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """MinHash → LSH band buckets → candidate pairs → exact-Jaccard
     verify. Only same-bucket docs are ever paired: the join cost is
-    O(bucket²) not O(corpus²) — this is the 100 TB dedup path."""
+    O(bucket²) not O(corpus²) — this is the 100 TB dedup path.
+
+    ``broadcast_candidates`` — verify-join strategy. For mostly-unique
+    corpora the candidate set is ~O(dups) and broadcasting it gives the
+    shingle stream a map-side probe; but the common LLM-corpus case is
+    30-50 % near-dup, where candidates are CORPUS-scale and a broadcast
+    would funnel them through the driver. None (default) decides from
+    the materialized candidate count (≤ LSH_BROADCAST_MAX_CANDIDATES →
+    broadcast, else plain shuffle semi-joins — the join keys are
+    doc_id, co-partitioned with the shingle stream anyway)."""
     rows = n_hashes // n_bands
     # ONE shingle pass feeds the signature agg, the size agg and both
     # sides of the verify join; sigs likewise feeds both sides of the
@@ -348,23 +392,30 @@ def minhash_lsh_pairs(
     # so without this the verify re-creates the all-pairs-shared-shingle
     # blowup LSH exists to avoid); the pair-level semi-join after
     # restricts (candidate_doc × candidate_doc) to actual candidate
-    # pairs. cands is ~O(dups) — broadcastable at any scale where LSH
-    # is doing its job.
+    # pairs. The count below is one action over the ALREADY-persisted
+    # cands (reused by every downstream join), so the strategy pick
+    # costs no extra materialization.
     cands = cands.persist()
+    if broadcast_candidates is None:
+        broadcast_candidates = cands.count() <= LSH_BROADCAST_MAX_CANDIDATES
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_candidates else df
+
     cand_a = cands.select(F.col("doc_id_a").alias("doc_id")).distinct()
     cand_b = cands.select(F.col("doc_id_b").alias("doc_id")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = (
-        sh.join(F.broadcast(cand_a), "doc_id", "left_semi")
+        sh.join(_b(cand_a), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("doc_id_a"), "shingle")
     )
     sh_b = (
-        sh.join(F.broadcast(cand_b), "doc_id", "left_semi")
+        sh.join(_b(cand_b), "doc_id", "left_semi")
         .select(F.col("doc_id").alias("doc_id_b"), "shingle")
     )
     inter = (
         sh_a.join(sh_b, "shingle")
-        .join(F.broadcast(cands), ["doc_id_a", "doc_id_b"], "left_semi")
+        .join(_b(cands), ["doc_id_a", "doc_id_b"], "left_semi")
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -250,6 +250,7 @@ def decontaminate(
     n: int = 3,
     threshold: float = 0.2,
     bench_mod: int = DEFAULT_BENCH_MOD,
+    broadcast_bench: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs whose n-gram
     shingle overlap with an eval/benchmark set reaches ``threshold``.
@@ -261,23 +262,36 @@ def decontaminate(
     uses in place of external benchmark data; production passes the
     real eval set.
 
-    Plan (100 TB shape): the benchmark shingle set is tiny next to the
-    corpus, so it is BROADCAST — the corpus-side shingle stream gets a
-    map-side hash probe (no shuffle of corpus shingles against the
-    bench side), and per-doc n_sh/n_hit fold into ONE groupBy(doc_id)
-    shuffle. Corpus docs that ARE the benchmark slice are anti-joined
-    out first.
+    Plan (100 TB shape): with an EXPLICIT ``bench_docs`` (a real eval
+    set — tiny by construction) the bench shingle set is BROADCAST, so
+    the corpus-side shingle stream gets a map-side hash probe (no
+    shuffle of corpus shingles against the bench side) and per-doc
+    n_sh/n_hit fold into ONE groupBy(doc_id) shuffle. The DEFAULT
+    synthetic modulo slice is 1/bench_mod of the corpus — corpus-scale
+    at 100 TB — so it must NOT funnel through the driver: the train
+    side becomes a plain complement filter (no join at all) and the
+    shingle probe a shuffle join. ``broadcast_bench`` overrides the
+    auto policy (None = broadcast iff bench_docs was passed).
     """
     from open_source_search_engine_spark.operators.dedup import _shingles
 
+    if broadcast_bench is None:
+        broadcast_bench = bench_docs is not None
     if bench_docs is None:
         bench_docs = docs.filter(F.col("doc_id") % bench_mod == 0)
-    bench_ids = bench_docs.select("doc_id")
-    train = docs.join(F.broadcast(bench_ids), "doc_id", "left_anti")
+        # complement of the modulo slice — a filter, not an anti-join
+        train = docs.filter(F.col("doc_id") % bench_mod != 0)
+    else:
+        bench_ids = bench_docs.select("doc_id")
+        train = docs.join(
+            F.broadcast(bench_ids) if broadcast_bench else bench_ids,
+            "doc_id",
+            "left_anti",
+        )
     bsh = _shingles(bench_docs, n).select("shingle").distinct().withColumn("hit", F.lit(1))
     agg = (
         _shingles(train, n)
-        .join(F.broadcast(bsh), "shingle", "left")
+        .join(F.broadcast(bsh) if broadcast_bench else bsh, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),

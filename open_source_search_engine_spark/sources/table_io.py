@@ -75,7 +75,20 @@ def read_corpus(
         from pathlib import Path
 
         is_path = "/" in location or Path(location).exists()
-        fmt = "iceberg" if iceberg_available(spark) and not is_path else "parquet"
+        if is_path:
+            fmt = "parquet"
+        elif iceberg_available(spark):
+            fmt = "iceberg"
+        else:
+            # a table-shaped location ('db.tbl') can only resolve via
+            # the catalog — falling through to spark.read.parquet would
+            # fail with a misleading path-not-found error
+            raise RuntimeError(
+                f"fmt='auto' resolved {location!r} to a catalog table name "
+                "(no '/' and not an existing path) but iceberg-spark-runtime "
+                "is not on the JVM classpath; pass fmt='parquet' with a "
+                "filesystem path, or add the Iceberg jar"
+            )
     if fmt == "iceberg":
         if not iceberg_available(spark):
             raise RuntimeError(
@@ -111,6 +124,10 @@ def canonicalize_corpus(df: DataFrame, check_collisions: bool = False) -> DataFr
     """
     cols = set(df.columns)
     if {"doc_id", "text"} <= cols:
+        # already-canonical tables still get the collision guard a
+        # caller asked for — pre-keyed ids can collide too
+        if check_collisions:
+            _check_collisions(df)
         return df
     missing = [c for c in CORPUS_COLS if c not in cols]
     if missing:
@@ -129,13 +146,18 @@ def canonicalize_corpus(df: DataFrame, check_collisions: bool = False) -> DataFr
         *[F.col(c) for c in df.columns if c not in ("content", "doc_id", "text")],
     )
     if check_collisions:
-        n, nd = out.agg(
-            F.count("doc_id").alias("n"),
-            F.count_distinct("doc_id").alias("nd"),
-        ).first()
-        if n != nd:
-            raise ValueError(
-                f"doc_id collision: {n - nd} of {n} rows collide — "
-                "re-key with a per-snapshot salt or a registry"
-            )
+        _check_collisions(out)
     return out
+
+
+def _check_collisions(df: DataFrame) -> None:
+    """One distinct-count aggregation; fails loudly on duplicate ids."""
+    n, nd = df.agg(
+        F.count("doc_id").alias("n"),
+        F.count_distinct("doc_id").alias("nd"),
+    ).first()
+    if n != nd:
+        raise ValueError(
+            f"doc_id collision: {n - nd} of {n} rows collide — "
+            "re-key with a per-snapshot salt or a registry"
+        )

@@ -103,3 +103,49 @@ def test_cluster_keeper_dropped_by_quality_does_not_lose_content(spark):
     }
     assert out[1] == (False, "too_short")
     assert out[2] == (True, None)  # sole surviving copy is kept
+
+
+def test_bench_keeper_does_not_lose_cluster_content(spark):
+    # near-dup chain 1~2~3 where doc 1 IS a benchmark row: doc 1 always
+    # drops (reason 'benchmark'), so the cluster keeper must be
+    # re-picked among training docs — doc 2 survives, doc 3 is the
+    # duplicate. Before the fix every training copy dropped.
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [_doc(1, 10)]}))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [_doc(1, 10), _doc(4, 13), _doc(7, 16)],
+            }
+        )
+    )
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in curate_corpus(
+            docs,
+            dedup="cluster",
+            jaccard_threshold=0.4,
+            decontam_threshold=0.7,  # doc 2's bench overlap is 5/8 < 0.7
+            bench_docs=bench,
+        ).collect()
+    }
+    assert out[1] == (False, "benchmark")
+    assert out[2] == (True, None)  # re-picked keeper — content survives
+    assert out[3] == (False, "duplicate")
+
+
+def test_exact_copy_of_bench_doc_is_contaminated(spark):
+    # the exact-dup analog is safe by construction: a verbatim training
+    # copy of a bench doc has overlap 1.0 and drops as contaminated
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [_doc(1, 10)]}))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [_doc(1, 10), _doc(1, 10)]})
+    )
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in curate_corpus(
+            docs, dedup="exact", decontam_threshold=0.5, bench_docs=bench
+        ).collect()
+    }
+    assert out[1] == (False, "benchmark")
+    assert out[2] == (False, "contaminated")

@@ -46,3 +46,36 @@ def test_bench_slice_excluded_from_train_side(spark):
     )
     out = decontaminate(docs, threshold=0.5).collect()
     assert [(r.doc_id, r.overlap) for r in out] == [(21, 1.0)]
+
+
+def test_shuffle_and_broadcast_paths_agree(spark):
+    # the default synthetic slice is corpus-scale at 100 TB, so it runs
+    # WITHOUT broadcast; forcing broadcast on the same inputs must not
+    # change a single row (strategy, not semantics)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [20, 21, 22, 40],
+                "text": [_doc(1, 10), _doc(1, 10), _doc(6, 15), _doc(11, 20)],
+            }
+        )
+    )
+    auto = sorted(map(tuple, decontaminate(docs, threshold=0.2).collect()))
+    forced = sorted(
+        map(tuple, decontaminate(docs, threshold=0.2, broadcast_bench=True).collect())
+    )
+    assert auto == forced and len(auto) >= 1
+
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": [_doc(1, 10)]}))
+    b_auto = sorted(
+        map(tuple, decontaminate(docs, bench_docs=bench, threshold=0.2).collect())
+    )
+    b_shuffle = sorted(
+        map(
+            tuple,
+            decontaminate(
+                docs, bench_docs=bench, threshold=0.2, broadcast_bench=False
+            ).collect(),
+        )
+    )
+    assert b_auto == b_shuffle

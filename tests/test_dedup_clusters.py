@@ -122,3 +122,63 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
     # cluster_id is always the component min
     assert all(cid == min(k for k, v in got.items() if v == cid) for cid in set(got.values()))
+
+
+def test_long_chain_hits_max_iter_loudly_then_converges(spark):
+    # a 12-node path graph has diameter 11 — hash-to-min needs ~11
+    # propagation rounds, so max_iter=3 must fail LOUDLY (partial
+    # labels would silently under-merge clusters), and the plumbed-up
+    # budget converges to one component
+    import pytest
+
+    from open_source_search_engine_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id_a": list(range(1, n)), "doc_id_b": list(range(2, n + 1))}
+        )
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=3)
+    out = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iter=n + 1).collect()}
+    assert set(out.values()) == {1} and len(out) == n
+
+
+def test_checkpoint_dir_rounds_are_durable_and_identical(spark, tmp_path):
+    # parquet-round mode (the 100 TB durability path) must produce the
+    # exact same labelling as localCheckpoint mode, and leave restart
+    # points on disk
+    docs = _chain_docs(spark)
+    base = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(docs, threshold=0.4).collect()
+    }
+    ckpt = tmp_path / "cc_rounds"
+    durable = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(docs, threshold=0.4, checkpoint_dir=str(ckpt)).collect()
+    }
+    assert durable == base
+    rounds = sorted(p.name for p in ckpt.glob("labels_round_*"))
+    assert len(rounds) >= 2  # init + at least one propagation round
+
+
+def test_minhash_verify_shuffle_branch_matches_broadcast(spark):
+    # a 50 %-near-duplicate corpus — the case where candidates are
+    # corpus-scale and the broadcast verify would funnel them through
+    # the driver. Both join strategies must return identical pairs.
+    from open_source_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = []
+    for i in range(1, 21):
+        rows.append((2 * i, _doc(1, 14) + f" tail{i}"))      # near-dup family
+        rows.append((2 * i + 1, " ".join(f"u{i}x{j}" for j in range(8))))  # unique
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bc = sorted(
+        map(tuple, minhash_lsh_pairs(docs, threshold=0.5, broadcast_candidates=True).collect())
+    )
+    sh = sorted(
+        map(tuple, minhash_lsh_pairs(docs, threshold=0.5, broadcast_candidates=False).collect())
+    )
+    assert bc == sh and len(bc) > 50  # dense dup family actually exercised

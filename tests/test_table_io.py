@@ -126,3 +126,22 @@ def test_preexisting_text_column_does_not_collide(spark):
     out = canonicalize_corpus(spark.createDataFrame(pdf))
     assert out.columns.count("text") == 1
     assert out.select("text").first().text == "real body"
+
+
+def test_collision_check_applies_to_precanonical_tables(spark):
+    # a caller asking for the guard on an already-keyed table gets a
+    # real check, not a silent pass-through
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1], "text": ["one", "two"]})
+    )
+    with pytest.raises(ValueError, match="collision"):
+        canonicalize_corpus(df, check_collisions=True)
+
+
+def test_auto_table_name_without_iceberg_raises_loudly(spark):
+    # fmt='auto' with a catalog-shaped location and no Iceberg jar must
+    # give the jar-absent error, never a confusing parquet path failure
+    if iceberg_available(spark):
+        pytest.skip("iceberg jar present in this runtime")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        read_corpus(spark, "db.tbl")
