@@ -114,6 +114,8 @@ def add_documents(
     replace: bool = False,
     input_snapshot: str = "incremental",
     anchor_edges: DataFrame | None = None,
+    max_generations: int | None = None,
+    compact_mode: str = "deltas",
 ) -> dict:
     """Index new docs as the next generation. ``replace=True`` first
     tombstones incoming doc_ids (update semantics).
@@ -122,7 +124,13 @@ def add_documents(
     shape as builder.build_index's): an anchored store should pass the
     new docs' inlink rows so their termlists carry anchor text like
     generation 0's (the reference re-hashes link info whenever a doc
-    is reindexed, XmlDoc::hashIncomingLinkText)."""
+    is reindexed, XmlDoc::hashIncomingLinkText).
+
+    ``max_generations`` — automatic merge policy (RdbBase::attemptMerge,
+    SURVEY.md §1.1/§4): after the add, if live generations exceed the
+    budget, ``maybe_compact`` merges per ``compact_mode``. Without it
+    generations accumulate unboundedly and every list read pays one
+    decode per generation."""
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
@@ -262,6 +270,12 @@ def add_documents(
         )
     finally:
         posts.unpersist()
+    if max_generations is not None:
+        merged = maybe_compact(
+            spark, index_dir, max_generations=max_generations, mode=compact_mode
+        )
+        if merged is not None:
+            return merged
     return meta
 
 
@@ -405,3 +419,120 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
     meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[0])
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
     return meta
+
+
+def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict:
+    """Tiered merge (RdbBase::attemptMerge picking the SMALL tier —
+    the reference merges the newest N files among themselves far more
+    often than it touches the big base file): collapse every DELTA
+    generation (>= 1) into ONE new generation, leaving generation 0 —
+    the bulk of the store — untouched. At 100 TB this is the merge you
+    can afford to run continuously: cost is proportional to the delta
+    tier, not the corpus.
+
+    Semantics:
+      * existing tombstones are APPLIED to the merged postings (a
+        delta posting an earlier delete/replace annihilated never
+        reaches the new generation) and RETAINED on disk — they still
+        mask generation-0 postings at read time.
+      * newest-generation-wins is resolved among the merged deltas;
+        the rewritten postings get the next generation number, so they
+        still win over generation 0 at read time.
+      * doc_meta is untouched: its ``gen`` column is a per-doc version
+        ordinal ordered consistently with the (monotonic) new
+        generation number, so liveness/max_by semantics are unchanged.
+      * global stats / term_dict are NOT recomputed — same drift model
+        as add_documents (Posdb::getTermFreq approximation); exactness
+        is ``compact``'s job. Scored reads drift; membership reads
+        (term lookup, boolean algebra, phrases) are exact.
+
+    Swap is atomic-ish exactly like ``compact``'s (stage → rename new
+    generation in → drop merged generation dirs); a crash inside the
+    window is repaired by rerunning the merge or a full compact."""
+    index_dir = Path(index_dir)
+    meta = B.load_meta(index_dir, recover=True)
+    cfg = _cfg_from_meta(meta)
+    gens = current_generations(index_dir)
+    deltas = [g for g in gens if g >= 1]
+    if len(deltas) < 2:
+        return meta
+    new_gen = max(gens) + 1
+
+    seg = spark.read.parquet(str(index_dir / "segments")).filter(
+        F.col("generation").isin(deltas)
+    )
+    posts = decode_segments_to_postings(seg)
+    tdir = index_dir / "tombstones"
+    if tdir.exists():
+        ts = (
+            spark.read.parquet(str(tdir))
+            .groupBy("doc_id")
+            .agg(F.max("before_generation").alias("before_generation"))
+        )
+        posts = posts.join(F.broadcast(ts), "doc_id", "left").filter(
+            F.col("before_generation").isNull()
+            | (F.col("generation") >= F.col("before_generation"))
+        )
+    aggs = [F.max_by("tf", "generation").cast("int").alias("tf")]
+    if "pos_blob" in posts.columns:
+        aggs.append(F.max_by("pos_blob", "generation").alias("pos_blob"))
+    posts = posts.groupBy("term_id", "doc_id").agg(*aggs)
+
+    # re-score with the CURRENT stats (what add_documents would have
+    # used) — tf/positions carry through unchanged
+    dm = (
+        spark.read.parquet(str(index_dir / "doc_meta"))
+        .groupBy("doc_id")
+        .agg(F.max_by("doc_len", "gen").alias("doc_len"))
+    )
+    tdict = spark.read.parquet(str(index_dir / "term_dict"))
+    scored = B.scored_postings_df(
+        posts, dm, tdict, meta["n_docs"], meta["avgdl"], cfg
+    )
+
+    stage = index_dir / "_merge_stage"
+    if stage.exists():
+        shutil.rmtree(stage)
+    stage.mkdir(parents=True)
+    B._encode_and_write(
+        scored, stage, new_gen, None, cfg, "delta_merge", meta["max_doc_id"]
+    )
+    for name in ("segments", "manifest"):
+        src = stage / name / f"generation={new_gen}"
+        if src.exists():
+            src.rename(index_dir / name / f"generation={new_gen}")
+    shutil.rmtree(stage, ignore_errors=True)
+    for g in deltas:
+        for name in ("segments", "manifest"):
+            old = index_dir / name / f"generation={g}"
+            if old.exists():
+                shutil.rmtree(old)
+
+    meta.update(
+        generations=sorted((set(gens) - set(deltas)) | {new_gen}),
+    )
+    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+    return meta
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str | Path,
+    max_generations: int = 4,
+    mode: str = "deltas",
+) -> dict | None:
+    """Automatic merge policy (RdbBase::attemptMerge / the
+    ``<mergeFiles>`` trigger in the reference's Rdb config): merge
+    when live generations exceed ``max_generations``, else no-op.
+
+    ``mode="deltas"`` runs the tiered ``merge_deltas`` (cost ∝ delta
+    tier — the continuous-ingest setting); ``mode="full"`` runs
+    ``compact`` (cost ∝ corpus, restores exact stats — the periodic
+    setting). Returns the new meta when a merge ran, None otherwise."""
+    if mode not in ("deltas", "full"):
+        raise ValueError(f"mode must be deltas|full, got {mode!r}")
+    if len(current_generations(index_dir)) <= max_generations:
+        return None
+    if mode == "full":
+        return compact(spark, index_dir)
+    return merge_deltas(spark, index_dir)

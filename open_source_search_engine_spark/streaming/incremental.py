@@ -43,12 +43,18 @@ def start_incremental_indexer(
     replace: bool = True,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_generations: int | None = None,
 ) -> StreamingQuery:
     """Stream new parquet files under ``source_dir`` into the index.
 
     ``available_now=True`` drains everything currently available and
     stops (the batch-incremental mode); ``False`` keeps running with
-    micro-batches (the SpiderLoop mode)."""
+    micro-batches (the SpiderLoop mode).
+
+    ``max_generations`` — forwards the automatic tiered merge policy
+    (merge.maybe_compact, RdbBase::attemptMerge): without it a
+    long-running stream accumulates one generation per micro-batch and
+    every list read pays one decode per generation."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -63,6 +69,7 @@ def start_incremental_indexer(
             index_dir,
             replace=replace,
             input_snapshot=f"stream_batch_{batch_id}",
+            max_generations=max_generations,
         )
 
     writer = (

@@ -193,3 +193,52 @@ def test_positionless_store_raises(spark, corpora, tmp_path):
     )
     with pytest.raises(ValueError, match="store_positions"):
         lists.phrase_docs(spark, d, ["def", "return"]).collect()
+
+
+def test_tiered_merge_policy_bounds_generations(spark, corpora, tmp_path):
+    # RdbBase::attemptMerge analog: 3 adds through max_generations=2
+    # keep the live generation count <= 2 by collapsing the delta tier
+    # (gen 0 untouched); membership + tf stay identical to the logical
+    # corpus, and an intervening delete's tombstone keeps masking both
+    # the base and the merged tier.
+    base, extra, full = corpora
+    d = tmp_path / "idx_policy"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    extra_pdf = extra.toPandas()
+    slices = [extra_pdf[i::3] for i in range(3)]
+    victim = int(base.select(F.min("doc_id")).first()[0])
+    merge.delete_documents(spark, d, [victim])
+    for i, sl in enumerate(slices):
+        merge.add_documents(spark, spark.createDataFrame(sl), d, max_generations=2)
+        assert len(merge.current_generations(d)) <= 2, (
+            f"add {i}: {merge.current_generations(d)}"
+        )
+    # the base generation is never rewritten by the deltas tier merge
+    assert merge.current_generations(d)[0] == 0
+
+    got = wand.wand_topk(spark, d, ["def", "return"], k=1000, mode="or").toPandas()
+    want = _oracle(
+        full.filter(F.col("doc_id") != victim), ["def", "return"], k=1000
+    )
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert victim not in set(got["doc_id"])
+
+    # full compact after the tiered merges restores exact ranking
+    merge.compact(spark, d)
+    got = wand.wand_topk(spark, d, ["scan", "merge"], k=10, mode="or").toPandas()
+    want = _oracle(full.filter(F.col("doc_id") != victim), ["scan", "merge"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert got["score"].tolist() == pytest.approx(want["score"].tolist(), abs=1e-5)
+
+
+def test_maybe_compact_noop_below_budget(spark, corpora, tmp_path):
+    base, extra, _ = corpora
+    d = tmp_path / "idx_noop"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+    assert merge.maybe_compact(spark, d, max_generations=2) is None
+    assert merge.current_generations(d) == [0, 1]
