@@ -142,6 +142,43 @@ def _lsm_index(spark: SparkSession, sf_dir: str) -> Path:
     return _IDX_CACHE[key]
 
 
+def _lsm_autocompacted(spark: SparkSession, sf_dir: str) -> Path:
+    """Store maintained by the AUTOMATIC tiered merge policy
+    (merge.maybe_compact / merge_deltas — RdbBase::attemptMerge,
+    SURVEY.md §1.1): gen-0 build over doc_id < 200, then THREE delta
+    adds (doc_id 200-350 split 3 ways) each through
+    ``max_generations=2``, which forces two delta-tier merges along
+    the way. Membership queries against it pin that the policy-merged
+    read path stays identical to the logical corpus (tf is exact per
+    doc; scored reads drift until full compact, so the entry is
+    unscored)."""
+    key = sf_dir + "#lsmauto"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from open_source_search_engine_spark.config import EngineConfig
+        from open_source_search_engine_spark.index import builder as idx_builder
+        from open_source_search_engine_spark.index import merge as idx_merge
+
+        d = Path(tempfile.mkdtemp(prefix="osse_lsma_")) / "idx"
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 350)
+        idx_builder.build_index(
+            spark, docs.filter(F.col("doc_id") < 200), d,
+            cfg=EngineConfig(n_buckets=8, n_salts=2, block_size=64),
+            text_col="text",
+        )
+        for lo, hi in ((200, 250), (250, 300), (300, 350)):
+            idx_merge.add_documents(
+                spark,
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                d,
+                max_generations=2,
+            )
+        assert len(idx_merge.current_generations(d)) <= 2
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
 def _lsm_compacted(spark: SparkSession, sf_dir: str) -> Path:
     """The same mutated store after compact() — tombstones applied,
     exact stats recomputed (equivalent to a from-scratch build over
@@ -396,6 +433,9 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsm_update_contains": lambda s, d: _lsm_q(s, d, "contains"),
         "lsm_delete_and_intersect": lambda s, d: _lsm_q(s, d, "and"),
         "lsm_update_topk": lambda s, d: _lsm_q(s, d, "topk"),
+        # automatic tiered merge policy (maybe_compact): 3 deltas
+        # through max_generations=2, membership read on the result
+        "lsm_autocompact_contains": lambda s, d: _lsm_q(s, d, "autocompact"),
         # --- streaming incremental build (§2.10): generations written
         # by the availableNow file stream, positions served merged ---
         "streaming_incremental_phrase": lambda s, d: _stream_phrase_q(s, d),
@@ -473,6 +513,9 @@ def oracle_sql() -> dict[str, str]:
         "lsm_delete_and_intersect": _lsm_oracle(
             osql.and_intersect_sql(["join", "hash", "scan"])
         ),
+        "lsm_autocompact_contains": _subset_oracle(
+            osql.term_lookup_sql("join"), "doc_id < 350"
+        ),
         "lsm_update_topk": _lsm_oracle(osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10)),
         "streaming_incremental_phrase": _subset_oracle(
             osql.phrase_bigram_sql("join", "hash"), "doc_id < 300"
@@ -538,6 +581,8 @@ def _lsm_q(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         return indexed.and_intersect(
             spark, _lsm_index(spark, sf_dir), ["join", "hash", "scan"]
         )
+    if kind == "autocompact":
+        return indexed.term_lookup(spark, _lsm_autocompacted(spark, sf_dir), "join")
     # scored top-k on the compacted store (exact stats over live set)
     return indexed.bm25_topk(
         spark, _lsm_compacted(spark, sf_dir), FLAGSHIP_TERMS, k=10
@@ -694,6 +739,27 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         ("brute", "ann_cosine_topk"),
         ("lsh", "ann_lsh_topk"),
         ("ivf", "ann_ivf_topk"),
+        # batched probe join over the same prebuilt store: carries an
+        # extra query_id column, union-aligned by name (NULL elsewhere)
+        ("ivf_batch", "ann_ivf_knn_join"),
+    ],
+    # the two near-dup PAIR producers share a schema — one suite
+    "dedup_pairs": [
+        ("jaccard", "dedup_ngram_jaccard"),
+        ("minhash_lsh", "dedup_minhash_lsh"),
+    ],
+    # signatures (doc_id, simhash) and pairs (doc_id_a/b, hamming)
+    # union BY NAME — disjoint columns null-pad each other
+    "simhash": [
+        ("signatures", "simhash_signatures"),
+        ("near_dup", "simhash_near_dup"),
+    ],
+    # LSM lifecycle membership: tf exists only for the term-lookup
+    # variants (BY NAME union null-pads delete_and)
+    "lsm_membership": [
+        ("update_contains", "lsm_update_contains"),
+        ("delete_and", "lsm_delete_and_intersect"),
+        ("autocompact_contains", "lsm_autocompact_contains"),
     ],
 }
 
@@ -712,7 +778,10 @@ def _variant_union(fns):
         out = None
         for v, fn in fns:
             df = fn(spark, sf_dir).withColumn("variant", F.lit(v))
-            out = df if out is None else out.unionByName(df)
+            # name-aligned union: a variant with extra columns (e.g.
+            # ann ivf_batch's query_id) null-pads the others, exactly
+            # like the oracle's UNION ALL BY NAME
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
         return out
 
     return run
@@ -731,20 +800,6 @@ def _finalize_queries(q):
     # verbatim, so the plain entry is subsumed
     q.pop("token_counts")
     q["token_counts"] = q.pop("token_counts_bpe")
-    # LSM membership suite: tf is only defined for the update-contains
-    # variant (term_lookup of the gen-1 marker term)
-    fc, fa = q.pop("lsm_update_contains"), q.pop("lsm_delete_and_intersect")
-
-    def lsm_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a = fc(spark, sf_dir).withColumn("variant", F.lit("update_contains"))
-        b = (
-            fa(spark, sf_dir)
-            .withColumn("tf", F.lit(None).cast("long"))
-            .withColumn("variant", F.lit("delete_and"))
-        )
-        return a.unionByName(b)
-
-    q["lsm_membership"] = lsm_membership
     return q
 
 
@@ -757,13 +812,7 @@ def _finalize_oracles(o):
         )
     for new, parts in _SUITES.items():
         sqls = [(v, o.pop(n)) for v, n in parts]
-        o[new] = "\nUNION ALL\n".join(_sub(s, "variant", v) for v, s in sqls)
+        o[new] = "\nUNION ALL BY NAME\n".join(_sub(s, "variant", v) for v, s in sqls)
     o.pop("token_counts")
     o["token_counts"] = o.pop("token_counts_bpe")
-    sc, sa = o.pop("lsm_update_contains"), o.pop("lsm_delete_and_intersect")
-    o["lsm_membership"] = (
-        f"SELECT 'update_contains' AS variant, doc_id, tf FROM (\n{sc}\n)"
-        "\nUNION ALL\n"
-        f"SELECT 'delete_and' AS variant, doc_id, NULL::BIGINT AS tf FROM (\n{sa}\n)"
-    )
     return o

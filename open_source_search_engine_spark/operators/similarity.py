@@ -677,6 +677,110 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
     )
 
 
+def ivf_knn_join(
+    spark: SparkSession,
+    ivf_dir,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batched ANN over a prebuilt IVF store: (query_id, vec_id,
+    cos_sim) top-k PER QUERY, in ONE job for any number of queries.
+
+    ``ivf_ann_topk_prebuilt`` pays a driver round-trip per query
+    (legitimate for interactive lookups, hopeless for a pipeline
+    consumer — embedding dedup against a reference set, kNN
+    featurization over millions of rows). Here the probe is a JOIN:
+
+      1. queries × broadcast(centroids) → top ``n_probe`` cells per
+         query (window over ~n_centroids rows/query — centroids are
+         metadata-scale, like the term dict);
+      2. (query, cell) pairs join the ``cells`` table on the PARTITION
+         column — with a small query set the probe side broadcasts and
+         dynamic partition pruning keeps the scan at
+         n_probe/n_centroids of the store; a corpus-scale query set
+         (``broadcast_queries=False``) shuffles both sides on ``cell``
+         instead, which is exactly a co-partitioned join against the
+         cell-partitioned store;
+      3. exact cosine rerank + one window top-k per query.
+
+    Self-matches are returned (cos 1.0 when a query vector is in the
+    store) — callers filter if unwanted."""
+    ivf = str(ivf_dir)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cents = spark.read.parquet(f"{ivf}/centroids")
+    qsim = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qsim", qsim)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = spark.read.parquet(f"{ivf}/cells").join(probes, "cell")
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, F.round("cos", 5).alias("cos_sim"))
+    )
+
+
+def ivf_knn_join_sql(
+    n_queries: int = 20,
+    k: int = 2,
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+    kmeans_iters: int = IVF_KMEANS_ITERS,
+) -> str:
+    """Full-pipeline DuckDB mirror of ivf_build + ivf_knn_join for a
+    query set = the ``n_queries`` smallest vec_ids: the same seeded
+    k-means CTEs as ivf_prebuilt_sql, then a per-query probe join and
+    window top-k."""
+    base = ivf_prebuilt_sql(
+        0, k, n_centroids=n_centroids, n_probe=n_probe, kmeans_iters=kmeans_iters
+    )
+    # reuse the k-means prefix (everything up to the single-query CTEs)
+    prefix = base.split(",\nq AS (")[0]
+    dp = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    qsim = dp.format(a="c.cv", b="q.qv")
+    cos = dp.format(a="e.v", b="p.qv")
+    last_cents = f"c{kmeans_iters}"
+    return f"""{prefix},
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries})
+), probe AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, c.cent_id, ROW_NUMBER() OVER (
+      PARTITION BY q.query_id ORDER BY {qsim} DESC, c.cent_id ASC) AS rn
+    FROM q CROSS JOIN {last_cents} c) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id, {cos} AS cos
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  JOIN e ON e.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, ROUND(cos, 5) AS cos_sim FROM (
+  SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= {k}
+ORDER BY query_id, vec_id"""
+
+
 _IVF_CACHE: dict[str, str] = {}
 
 
@@ -704,6 +808,16 @@ def driver_queries():
         "ann_ivf_topk": lambda s, d: ivf_ann_topk_prebuilt(
             s, _ivf_store(s, d), _emb(s, d), 0, 10
         ),
+        # batched probe: 20 query vectors through the SAME store in one
+        # job (VERDICT r03 missing #4 — no per-query driver round-trip)
+        "ann_ivf_knn_join": lambda s, d: ivf_knn_join(
+            s,
+            _ivf_store(s, d),
+            _emb(s, d).orderBy("vec_id").limit(20).withColumnRenamed(
+                "vec_id", "query_id"
+            ),
+            k=2,
+        ).orderBy("query_id", "vec_id"),
     }
 
 
@@ -720,6 +834,7 @@ def driver_oracles():
         # mirrors ivf_build's k-means (unrolled Lloyd rounds) + the
         # prebuilt probe path — the store is value-checked end-to-end
         "ann_ivf_topk": ivf_prebuilt_sql(0, 10),
+        "ann_ivf_knn_join": ivf_knn_join_sql(20, 2),
     }
 
 

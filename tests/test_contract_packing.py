@@ -27,8 +27,6 @@ def test_packed_contract_shape():
     packed_parts |= {
         "token_counts",
         "token_counts_bpe",
-        "lsm_update_contains",
-        "lsm_delete_and_intersect",
     }
     missing = set(raw) - packed_parts
     assert not missing, f"raw implementations not packed: {sorted(missing)}"
