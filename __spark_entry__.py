@@ -36,10 +36,11 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from open_source_search_engine_spark.operators import bm25, boolean, facets, phrase, ranking
-from open_source_search_engine_spark.operators import anchors, dedup, events, multimodal, proximity, similarity, textstats
+from open_source_search_engine_spark.operators import anchors, curate, dedup, events, multimodal, proximity, similarity, textstats
 from open_source_search_engine_spark.operators.postings import doc_tokens
 from open_source_search_engine_spark.operators.stats import doc_meta
 from open_source_search_engine_spark.plans import oracle_sql as osql
+from open_source_search_engine_spark.sources import table_io
 
 FLAGSHIP_TERMS = ["join", "hash"]
 
@@ -441,6 +442,8 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_phrase": lambda s, d: _stream_phrase_q(s, d),
     }
     q.update(anchors.driver_queries())
+    q.update(curate.driver_queries())
+    q.update(table_io.driver_queries())
     q.update(events.driver_queries())
     q.update(proximity.driver_queries())
     q.update(dedup.driver_queries())
@@ -522,6 +525,8 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     o.update(anchors.driver_oracles())
+    o.update(curate.driver_oracles())
+    o.update(table_io.driver_oracles())
     o.update(events.driver_oracles())
     o.update(proximity.driver_oracles())
     o.update(dedup.driver_oracles())

@@ -162,3 +162,165 @@ def curate_corpus(
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     ).orderBy("doc_id")
+
+
+def curate_corpus_sql(
+    *,
+    min_tokens: int = 5,
+    max_stopword_ratio: float | None = None,
+    min_distinct_ratio: float | None = None,
+    dedup: str = "cluster",
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    decontam_threshold: float | None = None,
+    bench_mod: int = _ts.DEFAULT_BENCH_MOD,
+) -> str:
+    """Full-pipeline DuckDB mirror of ``curate_corpus`` with the
+    SYNTHETIC bench slice (``bench_docs=None``): the same quality
+    gates over the same rounded features, the same keeper-eligibility
+    restriction (quality-passing, non-bench docs), the recursive-CTE
+    connected components from dedup_clusters_sql over that restricted
+    graph, the decontaminate_sql overlap probe, and the same verdict
+    priority — so the driver value-checks the COMPOSED decision table,
+    not just its parts."""
+    if dedup not in ("exact", "cluster"):
+        raise ValueError("SQL mirror covers dedup=exact|cluster")
+    stop = ", ".join(f"'{s}'" for s in _ts.STOPWORDS)
+    lowq = ["FALSE"]
+    if max_stopword_ratio is not None:
+        lowq.append(f"q.stopword_ratio > {max_stopword_ratio}")
+    if min_distinct_ratio is not None:
+        lowq.append(f"q.distinct_ratio < {min_distinct_ratio}")
+    lowq_expr = " OR ".join(lowq)
+
+    bench_pred = f"doc_id % {bench_mod} = 0"
+    clean_extra = f" AND NOT ({bench_pred})" if decontam_threshold is not None else ""
+
+    hot = ""
+    shf = "csh"
+    if max_shingle_df:
+        hot = f""", hot AS (
+  SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) > {max_shingle_df}
+), cshf AS (
+  SELECT c.doc_id, c.shingle FROM csh c ANTI JOIN hot USING (shingle)
+)"""
+        shf = "cshf"
+
+    cluster_ctes = ""
+    dup_cluster = ""
+    cc_join = ""
+    if dedup == "cluster":
+        cluster_ctes = f""",
+ct AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM clean),
+csh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM ct, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+){hot}, sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM {shf} GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
+  FROM {shf} a JOIN {shf} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id_a, doc_id_b FROM inter
+  JOIN sz sa ON doc_id_a = sa.doc_id
+  JOIN sz sb ON doc_id_b = sb.doc_id
+  WHERE ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 5) >= {jaccard_threshold}
+), edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b, doc_id_a FROM pairs
+), nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)"""
+        dup_cluster = " OR (cc.doc_id IS NOT NULL AND cc.cluster_id <> f.doc_id)"
+        cc_join = "\nLEFT JOIN cc ON f.doc_id = cc.doc_id"
+
+    decontam_ctes = ""
+    bench_when = ""
+    contam_when = ""
+    contam_join = ""
+    if decontam_threshold is not None:
+        decontam_ctes = f""",
+dt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM dt, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 3
+), bsh AS (SELECT DISTINCT shingle FROM dsh WHERE {bench_pred}),
+tr AS (SELECT doc_id, shingle FROM dsh WHERE NOT ({bench_pred})),
+ov AS (
+  SELECT t.doc_id, COUNT(*)::BIGINT AS n_sh, COUNT(b.shingle)::BIGINT AS n_hit
+  FROM tr t LEFT JOIN bsh b USING (shingle) GROUP BY t.doc_id
+), contam AS (
+  SELECT doc_id FROM ov WHERE ROUND(n_hit::DOUBLE / n_sh, 5) >= {decontam_threshold}
+)"""
+        bench_when = f"\n    WHEN f.doc_id % {bench_mod} = 0 THEN 'benchmark'"
+        contam_when = "\n    WHEN co.doc_id IS NOT NULL THEN 'contaminated'"
+        contam_join = "\nLEFT JOIN contam co ON f.doc_id = co.doc_id"
+
+    return f"""WITH RECURSIVE tk AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tkf AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+q AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         ROUND(COUNT(DISTINCT term)::DOUBLE / COUNT(*), 5) AS distinct_ratio,
+         ROUND(SUM(CASE WHEN term IN ({stop}) THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 5) AS stopword_ratio
+  FROM tkf GROUP BY doc_id
+), flags AS (
+  SELECT d.doc_id, d.text,
+         (q.n_tokens IS NULL OR q.n_tokens < {min_tokens}) AS too_short,
+         COALESCE({lowq_expr}, FALSE) AS low_quality
+  FROM documents d LEFT JOIN q USING (doc_id)
+), clean AS (
+  SELECT doc_id, text FROM flags
+  WHERE NOT too_short AND NOT low_quality{clean_extra}
+), ke AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(text)){cluster_ctes}{decontam_ctes}
+SELECT f.doc_id,
+  (CASE
+    WHEN f.too_short THEN 'too_short'
+    WHEN f.low_quality THEN 'low_quality'{bench_when}
+    WHEN (NOT f.too_short AND NOT f.low_quality AND ke.doc_id IS NULL){dup_cluster}
+      THEN 'duplicate'{contam_when}
+    ELSE NULL END) IS NULL AS keep,
+  CASE
+    WHEN f.too_short THEN 'too_short'
+    WHEN f.low_quality THEN 'low_quality'{bench_when}
+    WHEN (NOT f.too_short AND NOT f.low_quality AND ke.doc_id IS NULL){dup_cluster}
+      THEN 'duplicate'{contam_when}
+    ELSE NULL END AS drop_reason
+FROM flags f
+LEFT JOIN ke ON f.doc_id = ke.doc_id{cc_join}{contam_join}
+ORDER BY f.doc_id"""
+
+
+#: the driver-entry configuration: every gate fires on the fixture
+#: corpus (~5% too_short, a few % low_quality, 5% benchmark, near-dup
+#: clusters from the template families, a handful contaminated)
+_DRIVER_CFG = dict(
+    min_tokens=16,
+    max_stopword_ratio=0.125,
+    min_distinct_ratio=0.31,
+    dedup="cluster",
+    jaccard_threshold=0.5,
+    max_shingle_df=50,
+    decontam_threshold=0.2,
+)
+
+
+def driver_queries():
+    return {
+        "curate_corpus": lambda s, d: curate_corpus(
+            s.read.parquet(f"{d}/documents.parquet"), **_DRIVER_CFG
+        ),
+    }
+
+
+def driver_oracles():
+    return {
+        "curate_corpus": curate_corpus_sql(**_DRIVER_CFG),
+    }

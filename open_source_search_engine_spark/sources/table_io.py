@@ -161,3 +161,66 @@ def _check_collisions(df: DataFrame) -> None:
             f"doc_id collision: {n - nd} of {n} rows collide — "
             "re-key with a per-snapshot salt or a registry"
         )
+
+
+# --- driver contract (value-verified ingestion) ---------------------
+#
+# The synthetic input_hint table is derived DETERMINISTICALLY from the
+# fixture documents table with SQL-expressible column math, so DuckDB
+# can rebuild the identical source rows. The doc_id itself is Spark's
+# xxhash64 (no DuckDB equivalent), so the oracle pins everything AROUND
+# it instead: text==content passthrough, sha256 invariant, and
+# injectivity (ids_per_key, a window count per doc_id, must hash-match
+# the oracle's literal 1 for every row — any xxhash64 collision or a
+# dropped/duplicated row breaks the value hash; check_collisions=True
+# additionally raises in-line).
+
+def _synthetic_hint(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.concat(F.lit("repo_"), (F.col("doc_id") % 20).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.concat(
+            F.lit("c"), ((F.col("doc_id") * 2654435761) % 1000000007).cast("string")
+        ).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def driver_queries():
+    from pyspark.sql import Window
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        canon = canonicalize_corpus(_synthetic_hint(docs), check_collisions=True)
+        return canon.select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "text",
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint")
+            .alias("ids_per_key"),
+        ).orderBy("path")
+
+    return {"table_io_canonical": run}
+
+
+def driver_oracles():
+    return {
+        "table_io_canonical": """WITH hint AS (
+  SELECT 'repo_' || (doc_id % 20) AS repo,
+         'src/f' || doc_id || '.txt' AS path,
+         'c' || ((doc_id * 2654435761) % 1000000007) AS "commit",
+         lang, text AS content
+  FROM documents
+)
+SELECT repo, path, "commit" AS commit, lang, content AS text,
+       sha256(content) AS sha, 1::BIGINT AS ids_per_key
+FROM hint ORDER BY path"""
+    }
