@@ -111,6 +111,51 @@ def parse(q: str) -> ParsedQuery:
     return out
 
 
+def expand_synonyms(q: str, synonyms) -> str:
+    """Dictionary-driven synonym expansion (Synonyms.cpp getSynonyms /
+    Wiktionary.cpp, SURVEY.md §2.8 X5): rewrite each scored query term
+    that has a dictionary entry into an ``a|b|c`` OR-group, which the
+    existing grammar compiles to group-counted BM25 (every member
+    scores, the GROUP must match). Applied at the string level BEFORE
+    ``parse`` so every execution path (corpus algebra, segment store,
+    DuckDB oracle) sees the identical expanded query.
+
+    NOT expanded, matching the reference's behavior: excluded terms
+    (``-t`` stays a precise exclusion), field filters, phrase words
+    (a phrase is a verbatim position constraint) and tokens that are
+    already OR-groups.
+
+    ``synonyms`` — a ``{term: [synonym, ...]}`` dict, or a DataFrame
+    with (term, synonym) columns. The DataFrame form is collected
+    driver-side: a synonym dictionary is vocabulary-scale metadata
+    (the reference ships a ~MB wiktionary-synonyms file), the same
+    class as the term dict — never corpus-scale."""
+    if isinstance(synonyms, DataFrame):
+        synonyms_df = synonyms.groupBy("term").agg(
+            F.array_sort(F.collect_set("synonym")).alias("syns")
+        )
+        synonyms = {r["term"]: list(r["syns"]) for r in synonyms_df.collect()}
+
+    out: list[str] = []
+    for m in re.finditer(r'[+-]?"[^"]+"|\S+', q):
+        tok = m.group(0)
+        sign = tok[0] if tok[0] in "+-" else ""
+        body = tok[len(sign):]
+        is_phrase = body.startswith('"')
+        is_field = (
+            ":" in body and body.split(":", 1)[0].lower() in FIELD_COLS
+        )
+        is_group = "|" in body
+        if sign != "-" and not (is_phrase or is_field or is_group):
+            t = body.lower()
+            syns = synonyms.get(t)
+            if syns:
+                members = [t] + sorted(set(s.lower() for s in syns) - {t})
+                tok = sign + "|".join(members)
+        out.append(tok)
+    return " ".join(out)
+
+
 def execute(
     docs: DataFrame,
     q: str,

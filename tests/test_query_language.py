@@ -66,3 +66,35 @@ def test_parse_no_groups_keeps_legacy_shape():
     assert pq.scored_groups == [("join",), ("hash",), ("merge",), ("scan",)]
     assert pq.scored_terms == ["join", "hash", "merge", "scan"]
     assert not pq.has_or_groups
+
+
+def test_expand_synonyms_dict_rewrite():
+    from open_source_search_engine_spark.plans.query_language import expand_synonyms
+
+    syn = {"join": ["merge"], "scan": ["key", "probe"]}
+    # scored terms expand (sorted, deduped, self first); excluded,
+    # field, phrase and pre-grouped tokens are untouched
+    assert (
+        expand_synonyms('join +scan -join lang:en "join scan" a|b', syn)
+        == 'join|merge +scan|key|probe -join lang:en "join scan" a|b'
+    )
+    # expansion result parses into the intended OR-groups (parse lists
+    # plain required units before groups; AND semantics, order-free)
+    pq = parse(expand_synonyms("join hash", syn))
+    assert set(pq.scored_groups) == {("join", "merge"), ("hash",)}
+    # self-synonym entries don't duplicate the head term
+    assert expand_synonyms("join", {"join": ["join", "merge"]}) == "join|merge"
+    # no dictionary hit -> identity
+    assert expand_synonyms("hash -dup", syn) == "hash -dup"
+
+
+def test_expand_synonyms_dataframe_form(spark):
+    from open_source_search_engine_spark.plans.query_language import expand_synonyms
+
+    df = spark.createDataFrame(
+        [("join", "merge"), ("scan", "key"), ("scan", "probe")],
+        "term string, synonym string",
+    )
+    assert expand_synonyms("join scan hash", df) == expand_synonyms(
+        "join scan hash", {"join": ["merge"], "scan": ["key", "probe"]}
+    )
