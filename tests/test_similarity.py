@@ -127,3 +127,35 @@ def test_ivf_prebuilt_store(embs, spark, tmp_path):
         }
         recalls.append(len(exact & approx) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_ivf_knn_join_matches_per_query_probe(spark, embs, tmp_path):
+    """The batched probe join must return, per query, exactly what the
+    single-query prebuilt path returns — and the shuffle-probe branch
+    (corpus-scale query sets) must match the broadcast branch row for
+    row. The plan carries a dynamic-partition-pruning subquery on
+    `cell`, the batched analog of the single path's driver-side
+    isin() prune."""
+    store = str(tmp_path / "ivf_batch")
+    S.ivf_build(spark, embs, store)
+    queries = (
+        embs.orderBy("vec_id").limit(5).withColumnRenamed("vec_id", "query_id")
+    )
+    got = S.ivf_knn_join(spark, store, queries, k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        single = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.ivf_ann_topk_prebuilt(spark, store, embs, qid, 3).collect()
+        ]
+        assert sorted(rows) == sorted(single), qid
+
+    shuffled = S.ivf_knn_join(spark, store, queries, k=3, broadcast_queries=False)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, got.collect())
+    )

@@ -163,3 +163,36 @@ def test_streaming_windowed_watermark(spark, tmp_path):
     )
     # the 06:00 window is still open (watermark = 06:30 - 2h) → absent
     assert ("2024-01-01 06:00:00", "click") not in rows
+
+
+def test_streaming_with_merge_policy_bounds_generations(spark, tmp_path):
+    """A long-running stream with max_generations keeps the store's
+    generation count bounded (the reference's SpiderLoop never lets
+    Rdb files accumulate unboundedly — RdbBase::attemptMerge fires as
+    part of the add loop), and every drained doc stays searchable."""
+    src = tmp_path / "srcp"
+    idx = tmp_path / "idxp"
+    ckpt = tmp_path / "ckptp"
+
+    all_pdf = gen_corpus(n_docs=240)
+    base = all_pdf[:120]
+    base_df = spark.createDataFrame(base)
+    builder.build_index(
+        spark, base_df, idx, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    # three waves land before the drain; maxFilesPerTrigger=1 forces
+    # one micro-batch (= one generation) per wave
+    for lo, hi in ((120, 160), (160, 200), (200, 240)):
+        spark.createDataFrame(all_pdf[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    q = start_incremental_indexer(
+        spark, src, idx, base_df.schema, ckpt,
+        available_now=True, max_files_per_trigger=1, max_generations=2,
+    )
+    q.awaitTermination(300)
+    assert len(merge.current_generations(idx)) <= 2
+    got = wand.wand_topk(spark, idx, ["def"], k=1000, mode="or").toPandas()
+    seen = set(got["doc_id"])
+    for lo in (120, 160, 200):
+        assert any(lo <= d < lo + 40 for d in seen), lo
