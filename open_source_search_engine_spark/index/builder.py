@@ -100,6 +100,25 @@ def _write_meta(index_dir: Path, meta: dict) -> None:
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
 
 
+def refresh_read_caches(spark: SparkSession, index_dir: str | Path) -> None:
+    """Invalidate Spark's cached plans / file listings for this index's
+    on-disk tables. Spark's CacheManager substitutes ANY later read of
+    the same path whose plan ``sameResult``-matches a persisted one —
+    so a warm QueryEngine's persisted term_dict would otherwise be
+    silently served (STALE) to every add/merge/compact job reading
+    that path after a swap. Observed failure without this: a delta
+    merge re-scoring against the pre-swap dictionary inner-joins away
+    every posting of every term first seen after the engine warmed —
+    new-term postings vanish from the merged generation. Writers call
+    this after each commit point; warm handles self-heal because Spark
+    re-caches the persisted entry lazily from the new files."""
+    index_dir = Path(index_dir)
+    for sub in ("term_dict", "segments", "doc_meta", "manifest", "tombstones"):
+        p = index_dir / sub
+        if p.exists():
+            spark.catalog.refreshByPath(str(p))
+
+
 def scored_postings_df(
     posts: DataFrame,
     meta_df: DataFrame | None,
@@ -463,4 +482,7 @@ def build_index(
     )
     # build committed — drop the staging checkpoint
     shutil.rmtree(staging, ignore_errors=True)
+    # a rebuild over an existing dir must invalidate any session-cached
+    # plans over the old files (see refresh_read_caches)
+    refresh_read_caches(spark, index_dir)
     return meta

@@ -84,6 +84,117 @@ def current_generations(index_dir: str | Path) -> list[int]:
     )
 
 
+# tombstone tables up to this on-disk size ship as a map-side hash
+# join; above it the merge joins them with a plain shuffle — a
+# retention sweep / mass takedown written through the DataFrame
+# overload of delete_documents is corpus-scale, and broadcasting it
+# would funnel the whole delete set through the driver.
+TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _tombstones_per_doc(
+    spark: SparkSession, index_dir: Path
+) -> tuple[DataFrame, bool] | None:
+    """One row per doc_id (max before_generation wins — the read-path
+    aggregation) plus a fits-in-a-broadcast flag decided from the
+    on-disk parquet size, or None when no tombstones exist."""
+    tdir = Path(index_dir) / "tombstones"
+    if not tdir.exists():
+        return None
+    on_disk = sum(p.stat().st_size for p in tdir.glob("*.parquet"))
+    ts = (
+        spark.read.parquet(str(tdir))
+        .groupBy("doc_id")
+        .agg(F.max("before_generation").alias("before_generation"))
+    )
+    return ts, on_disk <= TOMBSTONE_BROADCAST_MAX_BYTES
+
+
+def _apply_tombstones(
+    rows: DataFrame,
+    ts_small: tuple[DataFrame, bool] | None,
+    gen_col: str = "generation",
+) -> DataFrame:
+    """Annihilate rows whose ``gen_col`` sits below the doc's
+    tombstone bar (RdbList delete-key semantics)."""
+    if ts_small is None:
+        return rows
+    ts, small = ts_small
+    return (
+        rows.join(F.broadcast(ts) if small else ts, "doc_id", "left")
+        .filter(
+            F.col("before_generation").isNull()
+            | (F.col(gen_col) >= F.col("before_generation"))
+        )
+        .drop("before_generation")
+    )
+
+
+def _live_postings(
+    spark: SparkSession, index_dir: Path, generations: list[int] | None = None
+) -> DataFrame:
+    """decode → tombstone-filter → newest-generation-wins: the shared
+    merged read (Msg5's view of an Rdb) used by both ``compact`` (all
+    generations) and ``merge_deltas`` (the delta tier only)."""
+    seg = spark.read.parquet(str(index_dir / "segments"))
+    if generations is not None:
+        seg = seg.filter(F.col("generation").isin([int(g) for g in generations]))
+    posts = _apply_tombstones(
+        decode_segments_to_postings(seg), _tombstones_per_doc(spark, index_dir)
+    )
+    aggs = [F.max_by("tf", "generation").cast("int").alias("tf")]
+    if "pos_blob" in posts.columns:
+        aggs.append(F.max_by("pos_blob", "generation").alias("pos_blob"))
+    return posts.groupBy("term_id", "doc_id").agg(*aggs)
+
+
+def _prune_tombstones(spark: SparkSession, index_dir: Path) -> None:
+    """Drop tombstone rows that no longer mask anything, and collapse
+    the rest to one row per doc. After a delta merge a tombstone
+    ``(doc_id, bg)`` still matters iff it masks (a) base-generation
+    postings — the doc was in the generation-0 build, i.e. doc_meta
+    has a gen-0 row (every surviving delta posting carries a
+    generation above every existing bg, so only generation 0 can be
+    masked) — or (b) the doc_meta liveness view — the doc's newest
+    meta row sits below bg (a doc added and then deleted entirely
+    within the delta tier). The common replace-in-delta rows are dead
+    after the merge, and without this sweep continuous replace-mode
+    ingest grows the table by one row per updated doc per batch —
+    an unbounded cost every read and every future merge would re-join.
+
+    Crash-safe by construction: the pruned rows are APPENDED into the
+    tombstones dir first (union semantics are unchanged — the pruned
+    set is a semantic subset and reads take max-per-doc), then the old
+    files are unlinked; any crash point leaves a correct superset."""
+    tdir = Path(index_dir) / "tombstones"
+    tsd = _tombstones_per_doc(spark, index_dir)
+    if tsd is None:
+        return
+    ts, _ = tsd
+    dm = (
+        spark.read.parquet(str(index_dir / "doc_meta"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("gen").alias("max_gen"),
+            F.max((F.col("gen") == 0).cast("int")).alias("has_base"),
+        )
+    )
+    live = (
+        ts.join(dm, "doc_id", "left")
+        .filter(
+            (F.col("has_base") == 1)
+            | (F.col("max_gen") < F.col("before_generation"))
+        )
+        .select("doc_id", F.col("before_generation").cast("int").alias("before_generation"))
+    )
+    old_files = sorted(tdir.glob("*.parquet"))
+    live.write.mode("append").parquet(str(tdir))
+    for p in old_files:
+        p.unlink()
+    if not any(tdir.glob("*.parquet")):
+        shutil.rmtree(tdir)
+
+
 def delete_documents(
     spark: SparkSession, index_dir: str | Path, doc_ids: list[int] | DataFrame
 ) -> None:
@@ -105,6 +216,7 @@ def delete_documents(
         ).write.mode("append").parquet(str(index_dir / "tombstones"))
     else:
         _write_tombstones(index_dir, doc_ids, gen)
+    spark.catalog.refreshByPath(str(index_dir / "tombstones"))
 
 
 def add_documents(
@@ -131,6 +243,13 @@ def add_documents(
     budget, ``maybe_compact`` merges per ``compact_mode``. Without it
     generations accumulate unboundedly and every list read pays one
     decode per generation."""
+    if (
+        max_generations is not None
+        and compact_mode == "deltas"
+        and max_generations < 2
+    ):
+        # fail before the (expensive) add, not inside maybe_compact after it
+        raise ValueError("max_generations must be >= 2 with compact_mode='deltas'")
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
@@ -251,6 +370,9 @@ def add_documents(
     (index_dir / "term_dict").rename(old_dict_dir)
     tmp_dict.rename(index_dir / "term_dict")
     shutil.rmtree(old_dict_dir)
+    # the dict just swapped: the re-score read below (and any warm
+    # handle's persisted copy) must not be served the pre-swap cache
+    B.refresh_read_caches(spark, index_dir)
 
     meta.update(
         n_docs=float(row["n_docs"]),
@@ -270,6 +392,7 @@ def add_documents(
         )
     finally:
         posts.unpersist()
+    B.refresh_read_caches(spark, index_dir)
     if max_generations is not None:
         merged = maybe_compact(
             spark, index_dir, max_generations=max_generations, mode=compact_mode
@@ -335,25 +458,8 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
 
-    seg = spark.read.parquet(str(index_dir / "segments"))
-    posts = decode_segments_to_postings(seg)
-
     tdir = index_dir / "tombstones"
-    if tdir.exists():
-        ts = (
-            spark.read.parquet(str(tdir))
-            .groupBy("doc_id")
-            .agg(F.max("before_generation").alias("before_generation"))
-        )
-        posts = posts.join(F.broadcast(ts), "doc_id", "left").filter(
-            F.col("before_generation").isNull()
-            | (F.col("generation") >= F.col("before_generation"))
-        )
-    # newest generation wins per (term, doc)
-    aggs = [F.max_by("tf", "generation").cast("int").alias("tf")]
-    if "pos_blob" in posts.columns:
-        aggs.append(F.max_by("pos_blob", "generation").alias("pos_blob"))
-    posts = posts.groupBy("term_id", "doc_id").agg(*aggs)
+    posts = _live_postings(spark, index_dir)
 
     # live doc_meta: liveness comes from doc_meta MINUS tombstones,
     # NOT from surviving posting doc_ids — a live doc with zero
@@ -366,16 +472,7 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
         *[F.max_by(c, "gen").alias(c) for c in extra_cols],
         F.max("gen").alias("gen"),
     )
-    if tdir.exists():
-        ts_docs = (
-            spark.read.parquet(str(tdir))
-            .groupBy("doc_id")
-            .agg(F.max("before_generation").alias("before_generation"))
-        )
-        dm = dm.join(F.broadcast(ts_docs), "doc_id", "left").filter(
-            F.col("before_generation").isNull()
-            | (F.col("gen") >= F.col("before_generation"))
-        )
+    dm = _apply_tombstones(dm, _tombstones_per_doc(spark, index_dir), gen_col="gen")
     dm_live = dm.select("doc_id", *extra_cols)
 
     row = dm_live.agg(
@@ -418,10 +515,11 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
 
     meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[0])
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+    B.refresh_read_caches(spark, index_dir)
     return meta
 
 
-def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict:
+def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict | None:
     """Tiered merge (RdbBase::attemptMerge picking the SMALL tier —
     the reference merges the newest N files among themselves far more
     often than it touches the big base file): collapse every DELTA
@@ -433,8 +531,11 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict:
     Semantics:
       * existing tombstones are APPLIED to the merged postings (a
         delta posting an earlier delete/replace annihilated never
-        reaches the new generation) and RETAINED on disk — they still
-        mask generation-0 postings at read time.
+        reaches the new generation); rows still masking generation 0
+        or the doc_meta liveness view are RETAINED (one row per doc),
+        the rest PRUNED (``_prune_tombstones``) — so replace-heavy
+        continuous ingest doesn't accumulate an unbounded tombstone
+        table across merges.
       * newest-generation-wins is resolved among the merged deltas;
         the rewritten postings get the next generation number, so they
         still win over generation 0 at read time.
@@ -448,35 +549,21 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict:
 
     Swap is atomic-ish exactly like ``compact``'s (stage → rename new
     generation in → drop merged generation dirs); a crash inside the
-    window is repaired by rerunning the merge or a full compact."""
+    window is repaired by rerunning the merge or a full compact.
+
+    Returns the new meta when a merge ran, None when there was nothing
+    to merge (fewer than two delta generations — the same contract as
+    ``maybe_compact``, so callers can tell a real merge from a no-op)."""
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
     gens = current_generations(index_dir)
     deltas = [g for g in gens if g >= 1]
     if len(deltas) < 2:
-        return meta
+        return None
     new_gen = max(gens) + 1
 
-    seg = spark.read.parquet(str(index_dir / "segments")).filter(
-        F.col("generation").isin(deltas)
-    )
-    posts = decode_segments_to_postings(seg)
-    tdir = index_dir / "tombstones"
-    if tdir.exists():
-        ts = (
-            spark.read.parquet(str(tdir))
-            .groupBy("doc_id")
-            .agg(F.max("before_generation").alias("before_generation"))
-        )
-        posts = posts.join(F.broadcast(ts), "doc_id", "left").filter(
-            F.col("before_generation").isNull()
-            | (F.col("generation") >= F.col("before_generation"))
-        )
-    aggs = [F.max_by("tf", "generation").cast("int").alias("tf")]
-    if "pos_blob" in posts.columns:
-        aggs.append(F.max_by("pos_blob", "generation").alias("pos_blob"))
-    posts = posts.groupBy("term_id", "doc_id").agg(*aggs)
+    posts = _live_postings(spark, index_dir, generations=deltas)
 
     # re-score with the CURRENT stats (what add_documents would have
     # used) — tf/positions carry through unchanged
@@ -512,6 +599,8 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict:
         generations=sorted((set(gens) - set(deltas)) | {new_gen}),
     )
     (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+    _prune_tombstones(spark, index_dir)
+    B.refresh_read_caches(spark, index_dir)
     return meta
 
 
@@ -528,9 +617,19 @@ def maybe_compact(
     ``mode="deltas"`` runs the tiered ``merge_deltas`` (cost ∝ delta
     tier — the continuous-ingest setting); ``mode="full"`` runs
     ``compact`` (cost ∝ corpus, restores exact stats — the periodic
-    setting). Returns the new meta when a merge ran, None otherwise."""
+    setting). Returns the new meta when a merge ran, None otherwise.
+
+    ``max_generations`` must be ≥ 2 in deltas mode: a delta merge can
+    never go below base + one delta, so a budget of 1 would trigger on
+    every add yet never be met — raise instead of looping silently."""
     if mode not in ("deltas", "full"):
         raise ValueError(f"mode must be deltas|full, got {mode!r}")
+    if mode == "deltas" and max_generations < 2:
+        raise ValueError(
+            "max_generations must be >= 2 in deltas mode (the tiered merge "
+            "keeps generation 0 plus one merged delta); use mode='full' to "
+            "compact down to a single generation"
+        )
     if len(current_generations(index_dir)) <= max_generations:
         return None
     if mode == "full":

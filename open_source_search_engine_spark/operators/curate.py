@@ -210,23 +210,16 @@ def curate_corpus_sql(
     dup_cluster = ""
     cc_join = ""
     if dedup == "cluster":
+        # shingle + pair CTEs come from dedup's shared builders so the
+        # intersection math and the threshold compare (UNROUNDED, like
+        # ngram_jaccard_pairs' filter — rounding is display-only)
+        # cannot drift from the Spark path's own oracle
         cluster_ctes = f""",
-ct AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM clean),
-csh AS (
-  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM ct, unnest(range(1, len(toks) - 1)) AS r(i)
-  WHERE len(toks) >= 3
-){hot}, sz AS (
-  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM {shf} GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
-  FROM {shf} a JOIN {shf} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
+{_dedup.shingles_ctes("clean", "c")}{hot}, {_dedup.jaccard_pair_ctes(shf)}, pairs AS (
   SELECT doc_id_a, doc_id_b FROM inter
   JOIN sz sa ON doc_id_a = sa.doc_id
   JOIN sz sb ON doc_id_b = sb.doc_id
-  WHERE ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 5) >= {jaccard_threshold}
+  WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= {jaccard_threshold}
 ), edges AS (
   SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
   UNION ALL
@@ -246,12 +239,7 @@ walk(node, label) AS (
     contam_join = ""
     if decontam_threshold is not None:
         decontam_ctes = f""",
-dt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-dsh AS (
-  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM dt, unnest(range(1, len(toks) - 1)) AS r(i)
-  WHERE len(toks) >= 3
-), bsh AS (SELECT DISTINCT shingle FROM dsh WHERE {bench_pred}),
+{_dedup.shingles_ctes("documents", "d")}, bsh AS (SELECT DISTINCT shingle FROM dsh WHERE {bench_pred}),
 tr AS (SELECT doc_id, shingle FROM dsh WHERE NOT ({bench_pred})),
 ov AS (
   SELECT t.doc_id, COUNT(*)::BIGINT AS n_sh, COUNT(b.shingle)::BIGINT AS n_hit

@@ -26,6 +26,9 @@ stop-shingle removal; at scale you would set it ~O(corpus/10^4).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,14 +74,38 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.distinct()
 
 
-_SHINGLES_SQL = """
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-), sh AS (
+def shingles_ctes(src: str = "documents", prefix: str = "") -> str:
+    """CTE pair ``{prefix}t`` / ``{prefix}sh`` shingling ``src`` into
+    distinct 3-gram shingles — the ONE SQL shingle definition every
+    mirror (ngram_jaccard_sql, dedup_clusters_sql, minhash/simhash
+    oracles, decontaminate_sql, curate.curate_corpus_sql) composes, so
+    the tokenization can't drift between oracles."""
+    return f"""{prefix}t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {src}
+), {prefix}sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  FROM {prefix}t, unnest(range(1, len(toks) - 1)) AS r(i)
   WHERE len(toks) >= 3
 )"""
+
+
+def jaccard_pair_ctes(shf: str, prefix: str = "") -> str:
+    """CTE pair ``{prefix}sz`` / ``{prefix}inter`` — per-doc shingle
+    counts and pairwise intersection counts over shingle table
+    ``shf``; shared by ngram_jaccard_sql and curate_corpus_sql.
+    Thresholding belongs to the caller and MUST compare the UNROUNDED
+    ratio (the Spark side filters ``jaccard >= t`` before any display
+    rounding)."""
+    return f"""{prefix}sz AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM {shf} GROUP BY doc_id
+), {prefix}inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
+  FROM {shf} a JOIN {shf} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+_SHINGLES_SQL = "\nWITH " + shingles_ctes()
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -157,13 +184,7 @@ def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_df: int | None = None)
   SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN hot USING (shingle)
 )"""
         shf = "shf"
-    return f"""{_SHINGLES_SQL}{guard}, sz AS (
-  SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM {shf} GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*)::BIGINT AS inter
-  FROM {shf} a JOIN {shf} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+    return f"""{_SHINGLES_SQL}{guard}, {jaccard_pair_ctes(shf)}
 SELECT doc_id_a, doc_id_b,
        ROUND(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 5) AS jaccard
 FROM inter
@@ -228,8 +249,19 @@ def connected_components(
     rounds become durable restart points that survive executor loss,
     the right trade at 100 TB where a label round is small next to the
     corpus but the job is hours long. Same plan either way — one
-    edge-set join + one groupBy per round."""
+    edge-set join + one groupBy per round. Superseded round files are
+    deleted as the loop advances (a round is dead once the next one is
+    on disk and the convergence check has read it), and stale
+    ``labels_round_*`` dirs from a previous run are cleared up front —
+    on success the dir holds exactly ONE label table, the final one,
+    which the returned DataFrame reads from."""
     spark = pairs.sparkSession
+
+    if checkpoint_dir is not None:
+        # a shorter rerun in the same dir must not leave a mix of two
+        # runs' rounds behind
+        for stale in Path(checkpoint_dir).glob("labels_round_*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _pin(df: DataFrame, rnd: int) -> DataFrame:
         if checkpoint_dir is None:
@@ -237,6 +269,12 @@ def connected_components(
         path = f"{checkpoint_dir}/labels_round_{rnd}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def _drop_round(rnd: int) -> None:
+        if checkpoint_dir is not None and rnd >= 0:
+            shutil.rmtree(
+                Path(checkpoint_dir) / f"labels_round_{rnd}", ignore_errors=True
+            )
 
     edges = (
         pairs.union(pairs.select(F.col("doc_id_b"), F.col("doc_id_a")))
@@ -267,6 +305,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # round `rnd` was last read by the convergence check above —
+        # drop it so only the newest label table stays on disk
+        _drop_round(rnd)
         lbl = new
         if changed == 0:
             converged = True

@@ -160,8 +160,18 @@ def test_checkpoint_dir_rounds_are_durable_and_identical(spark, tmp_path):
         for r in dedup_clusters(docs, threshold=0.4, checkpoint_dir=str(ckpt)).collect()
     }
     assert durable == base
+    # superseded rounds are deleted as the loop advances: on success
+    # exactly ONE label table — the final round, the one the returned
+    # DataFrame reads — survives (no stale-mix from earlier runs)
     rounds = sorted(p.name for p in ckpt.glob("labels_round_*"))
-    assert len(rounds) >= 2  # init + at least one propagation round
+    assert len(rounds) == 1
+    # rerunning in the same dir must not leave the old run's rounds
+    rerun = {
+        (r.doc_id, r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in dedup_clusters(docs, threshold=0.4, checkpoint_dir=str(ckpt)).collect()
+    }
+    assert rerun == base
+    assert len(list(ckpt.glob("labels_round_*"))) == 1
 
 
 def test_minhash_verify_shuffle_branch_matches_broadcast(spark):

@@ -242,3 +242,115 @@ def test_maybe_compact_noop_below_budget(spark, corpora, tmp_path):
     merge.add_documents(spark, extra, d)
     assert merge.maybe_compact(spark, d, max_generations=2) is None
     assert merge.current_generations(d) == [0, 1]
+
+
+def test_merge_deltas_noop_and_budget_contract(spark, corpora, tmp_path):
+    # a single delta is nothing to merge: merge_deltas must say so
+    # (None), and a deltas-mode budget below the tier's floor of 2
+    # generations must raise instead of silently never being met
+    base, extra, _ = corpora
+    d = tmp_path / "idx_contract"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+    assert merge.merge_deltas(spark, d) is None
+    assert merge.current_generations(d) == [0, 1]
+    with pytest.raises(ValueError, match="max_generations"):
+        merge.maybe_compact(spark, d, max_generations=1, mode="deltas")
+    with pytest.raises(ValueError, match="max_generations"):
+        merge.add_documents(spark, extra, d, max_generations=1)
+
+
+def test_merge_deltas_prunes_dead_tombstones(spark, corpora, tmp_path):
+    # replace-in-delta tombstones are dead after the tier merge and
+    # must be swept; a delete of a BASE doc must survive it (it still
+    # masks generation-0 postings). Without the sweep continuous
+    # replace-mode ingest grows the tombstone table without bound.
+    base, extra, _ = corpora
+    d = tmp_path / "idx_prune"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    victim = int(base.select(F.min("doc_id")).first()[0])
+    merge.delete_documents(spark, d, [victim])
+
+    extra_pdf = extra.toPandas()
+    merge.add_documents(spark, spark.createDataFrame(extra_pdf[0::2]), d)
+    upd = spark.createDataFrame(extra_pdf[0::2]).withColumn(
+        "content", F.concat(F.lit("rewritten body "), F.col("content"))
+    )
+    merge.add_documents(spark, upd, d, replace=True)
+
+    new_meta = merge.merge_deltas(spark, d)
+    assert new_meta is not None
+
+    ts = spark.read.parquet(str(d / "tombstones")).toPandas()
+    # only the base-doc delete survives, collapsed to one row
+    assert ts["doc_id"].tolist() == [victim]
+
+    # semantics unchanged: deleted base doc gone, replaced docs serve
+    # the NEW content only
+    got = wand.wand_topk(spark, d, ["def"], k=1000, mode="or").toPandas()
+    assert victim not in set(got["doc_id"])
+    got_new = wand.wand_topk(spark, d, ["rewritten"], k=1000, mode="or").toPandas()
+    assert set(got_new["doc_id"]) == set(int(x) for x in extra_pdf[0::2]["doc_id"])
+
+
+def test_tombstone_shuffle_join_matches_broadcast(spark, corpora, tmp_path, monkeypatch):
+    # mass deletes make the tombstone table corpus-scale: the merge
+    # must not broadcast it. Forcing the shuffle branch (threshold 0)
+    # must give byte-identical results to the broadcast branch.
+    base, extra, full = corpora
+    d = tmp_path / "idx_shufflets"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+    dead = full.select("doc_id").filter(F.col("doc_id") % 3 == 0)
+    merge.delete_documents(spark, d, dead)  # DataFrame overload
+    monkeypatch.setattr(merge, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    merge.compact(spark, d)
+    got = wand.wand_topk(spark, d, ["def", "return"], k=1000, mode="or").toPandas()
+    want = _oracle(
+        full.filter(F.col("doc_id") % 3 != 0), ["def", "return"], k=1000
+    )
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert not any(int(x) % 3 == 0 for x in got["doc_id"])
+
+
+def test_warm_engine_cache_does_not_corrupt_later_merges(spark, corpora, tmp_path):
+    # Spark's CacheManager substitutes ANY same-path read whose plan
+    # matches a persisted one: a warm QueryEngine's persisted
+    # term_dict, left stale across add_documents' dict swap, used to
+    # be silently served to the delta merge's re-score join — postings
+    # of every term first seen after the engine warmed vanished from
+    # the merged generation. Writers now refreshByPath after each
+    # commit; this pins the full warm-engine + replace + policy-merge
+    # sequence.
+    from open_source_search_engine_spark.index.engine import QueryEngine
+
+    base, extra, _ = corpora
+    d = tmp_path / "idx_warmcache"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    eng = QueryEngine(spark, d)  # persists term_dict → cache entry exists
+    assert eng.topk(["def"], k=5).count() == 5
+
+    extra_pdf = extra.toPandas()
+    merge.add_documents(
+        spark, spark.createDataFrame(extra_pdf[0::2]), d, max_generations=2
+    )
+    upd = spark.createDataFrame(extra_pdf[0::2]).withColumn(
+        "content", F.concat(F.lit("brandnewterm body "), F.col("content"))
+    )
+    merge.add_documents(spark, upd, d, replace=True, max_generations=2)
+
+    want_ids = set(int(x) for x in extra_pdf[0::2]["doc_id"])
+    got = wand.wand_topk(spark, d, ["brandnewterm"], k=1000, mode="or").toPandas()
+    assert set(got["doc_id"]) == want_ids
+    # warm handle picks the new store up after refresh()
+    eng.refresh()
+    got_warm = eng.topk(["brandnewterm"], k=1000, mode="or").toPandas()
+    assert set(got_warm["doc_id"]) == want_ids
