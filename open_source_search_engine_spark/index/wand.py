@@ -77,15 +77,23 @@ def query_term_rows(
     return tbl.to_pylist()
 
 
-def _load_tombstones(
-    spark: SparkSession, index_dir: str | Path
-) -> tuple[np.ndarray, np.ndarray] | None:
+# tombstone tables up to this on-disk size load driver-side into the
+# kernel closure (one pyarrow read, zero extra shuffle — the common
+# trickle-delete case, and merges prune the table besides); above it
+# wand_topk switches to a cogrouped join so a mass delete (retention
+# sweep via the delete_documents DataFrame overload) never funnels
+# through the driver. Mirrors merge.TOMBSTONE_BROADCAST_MAX_BYTES.
+TOMBSTONE_DRIVER_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _tombstones_on_disk_bytes(index_dir: str | Path) -> int:
     tdir = Path(index_dir) / "tombstones"
     if not tdir.exists():
-        return None
-    import pyarrow.dataset as ds
+        return 0
+    return sum(p.stat().st_size for p in tdir.glob("*.parquet"))
 
-    pdf = ds.dataset(str(tdir), format="parquet").to_table().to_pandas()
+
+def _arrays_from_pdf(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray] | None:
     if len(pdf) == 0:
         return None
     # one row per doc: the max before_generation wins
@@ -95,6 +103,24 @@ def _load_tombstones(
         pdf["doc_id"].to_numpy(np.int64),
         pdf["before_generation"].to_numpy(np.int64),
     )
+
+
+def _load_tombstones(
+    spark: SparkSession, index_dir: str | Path
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Driver-side (doc_id, bar) arrays for in-kernel annihilation.
+    Right for the small/common case only — wand_topk auto-switches to
+    the cogrouped shuffle above TOMBSTONE_DRIVER_MAX_BYTES; the
+    positional/boolean list paths (index/lists.py) stay on this loader,
+    so after a mass delete run merge/compact (which prunes the table)
+    before heavy phrase/boolean workloads."""
+    tdir = Path(index_dir) / "tombstones"
+    if not tdir.exists():
+        return None
+    import pyarrow.dataset as ds
+
+    pdf = ds.dataset(str(tdir), format="parquet").to_table().to_pandas()
+    return _arrays_from_pdf(pdf)
 
 
 def _blocks_overlapping(
@@ -257,9 +283,47 @@ def wand_topk(
     # parquet scan prunes the (largest) column entirely
     seg = seg.select(*KERNEL_INPUT_COLS)
 
-    tombstones = _load_tombstones(spark, index_dir)
-    kernel = make_salt_kernel(tids, k, mode, tombstones)
-    local = seg.groupBy("salt").applyInPandas(kernel, KERNEL_SCHEMA)
+    if _tombstones_on_disk_bytes(index_dir) <= TOMBSTONE_DRIVER_MAX_BYTES:
+        tombstones = _load_tombstones(spark, index_dir)
+        kernel = make_salt_kernel(tids, k, mode, tombstones)
+        local = seg.groupBy("salt").applyInPandas(kernel, KERNEL_SCHEMA)
+    else:
+        # mass-delete path: ship tombstones to the kernels through a
+        # cogrouped shuffle instead of the driver. Every salt group
+        # needs the FULL per-doc set — a doc's salt can DRIFT across
+        # generations (salts are doc-ranges over max_doc_id, which
+        # grows with adds), and global tombstones are exactly what
+        # makes that drift safe (a replaced doc's old-salt postings
+        # are annihilated wherever they sit) — so replicate rows to
+        # every salt (n_salts× shuffle volume, no driver round-trip).
+        # Per-task memory is still O(|tombstones|): past that point
+        # the answer is merge/compact, which prunes the table.
+        n_salts = meta["config"]["n_salts"]
+        ts = (
+            spark.read.parquet(str(Path(index_dir) / "tombstones"))
+            .groupBy("doc_id")
+            .agg(F.max("before_generation").alias("before_generation"))
+            .crossJoin(
+                spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+            )
+        )
+        base_kernel = make_salt_kernel(tids, k, mode, None)
+
+        def cokernel(seg_pdf: pd.DataFrame, ts_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(seg_pdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": [], "score": [], "n_terms": []}
+                ).astype({"doc_id": "int64", "score": "float64", "n_terms": "int32"})
+            arrays = _arrays_from_pdf(ts_pdf[["doc_id", "before_generation"]])
+            if arrays is None:
+                return base_kernel(seg_pdf)
+            return make_salt_kernel(tids, k, mode, arrays)(seg_pdf)
+
+        local = (
+            seg.groupBy("salt")
+            .cogroup(ts.groupBy("salt"))
+            .applyInPandas(cokernel, KERNEL_SCHEMA)
+        )
     if mode == "and":
         local = local.filter(F.col("n_terms") == len(tids))
     out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

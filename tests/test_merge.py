@@ -354,3 +354,27 @@ def test_warm_engine_cache_does_not_corrupt_later_merges(spark, corpora, tmp_pat
     eng.refresh()
     got_warm = eng.topk(["brandnewterm"], k=1000, mode="or").toPandas()
     assert set(got_warm["doc_id"]) == want_ids
+
+
+def test_wand_cogrouped_tombstones_match_driver_path(spark, corpora, tmp_path, monkeypatch):
+    # mass-delete read path: forcing the cogrouped tombstone shuffle
+    # (threshold -1) must rank identically to the driver-array path,
+    # in both AND and OR modes, with deletes spanning base + delta
+    # generations (salt drift covered by full replication).
+    base, extra, full = corpora
+    d = tmp_path / "idx_cots"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+    dead = full.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    merge.delete_documents(spark, d, dead)
+
+    for terms, mode in [(["def", "return"], "or"), (["scan", "merge"], "and")]:
+        want = wand.wand_topk(spark, d, terms, k=25, mode=mode).toPandas()
+        monkeypatch.setattr(wand, "TOMBSTONE_DRIVER_MAX_BYTES", -1)
+        got = wand.wand_topk(spark, d, terms, k=25, mode=mode).toPandas()
+        monkeypatch.undo()
+        assert list(got["doc_id"]) == list(want["doc_id"]), (terms, mode)
+        assert got["score"].tolist() == pytest.approx(want["score"].tolist())
+        assert not any(int(x) % 5 == 0 for x in got["doc_id"])
