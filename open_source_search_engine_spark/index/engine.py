@@ -24,12 +24,46 @@ from open_source_search_engine_spark.index.builder import load_meta
 
 
 class QueryEngine:
-    def __init__(self, spark: SparkSession, index_dir: str | Path):
+    """``auto_refresh=True`` (default) re-checks the store's commit
+    markers (meta.json mtime + tombstone dir state — two stats) at
+    each query entry point and reloads the warm state when a writer
+    committed since the last load: the RdbCache-invalidation analog
+    (the reference drops cache entries when an Rdb's file set
+    changes). Pass False to never reload mid-loop (caller owns
+    refresh() timing); note a False handle is not a strict snapshot —
+    a same-session writer's refreshByPath still re-caches the
+    persisted term_dict lazily from the new files."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str | Path,
+        auto_refresh: bool = True,
+    ):
         self.spark = spark
         self.index_dir = Path(index_dir)
+        self.auto_refresh = auto_refresh
         self._load()
 
+    def _commit_stamp(self) -> tuple:
+        """Cheap writer-commit fingerprint. meta.json is rewritten by
+        build/add/merge/compact; delete_documents only touches the
+        tombstones dir, so fold in its file set too."""
+        meta_m = (self.index_dir / "meta.json").stat().st_mtime_ns
+        tdir = self.index_dir / "tombstones"
+        ts_state = (
+            tuple(sorted(p.name for p in tdir.glob("*.parquet")))
+            if tdir.exists()
+            else ()
+        )
+        return (meta_m, ts_state)
+
+    def _maybe_refresh(self) -> None:
+        if self.auto_refresh and self._commit_stamp() != self._stamp:
+            self.refresh()
+
     def _load(self) -> None:
+        self._stamp = self._commit_stamp()
         self.meta = load_meta(self.index_dir)
         self.n_buckets = self.meta["config"]["n_buckets"]
         # vocabulary-sized; hot for every query → persist once
@@ -89,6 +123,7 @@ class QueryEngine:
         self, terms: list[str], k: int = 10, mode: str = "and",
         round_dp: int | None = 5,
     ) -> DataFrame:
+        self._maybe_refresh()
         trows = [
             r.asDict()
             for r in self.term_dict.filter(
@@ -118,22 +153,26 @@ class QueryEngine:
     def facets(self, terms: list[str], facet_col: str = "lang") -> DataFrame:
         from open_source_search_engine_spark.operators import indexed
 
+        self._maybe_refresh()
         return indexed.facet_counts(self.spark, self, terms, facet_col)
 
     def phrase(self, words: list[str]) -> DataFrame:
         from open_source_search_engine_spark.index import lists
 
+        self._maybe_refresh()
         return lists.phrase_docs(self.spark, self, words)
 
     def query(self, q: str, k: int = 10) -> DataFrame:
         """Full query-language front end, warm (Query.cpp set2)."""
         from open_source_search_engine_spark.plans import query_language
 
+        self._maybe_refresh()
         return query_language.execute_indexed(self.spark, self, q, k=k)
 
     def boolean(self, expr: str) -> DataFrame:
         from open_source_search_engine_spark.plans import boolean_expr
 
+        self._maybe_refresh()
         return boolean_expr.evaluate_indexed(self.spark, self, expr)
 
     def close(self) -> None:

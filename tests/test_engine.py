@@ -76,3 +76,36 @@ def test_engine_warm_operator_surface(spark, tiny_corpus, tmp_path_factory):
         assert warm == cold
     finally:
         eng.close()
+
+
+def test_engine_auto_refresh_sees_committed_writes(
+    spark, tiny_corpus, tmp_path_factory
+):
+    # RdbCache invalidation analog: a warm engine must pick up an
+    # add_documents commit (new generation + dict swap) and a delete
+    # (tombstones only — meta.json untouched) WITHOUT an explicit
+    # refresh() call. Own index build — this test mutates the store.
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.index import merge
+
+    d = tmp_path_factory.mktemp("engidx_ar") / "main"
+    builder.build_index(
+        spark, tiny_corpus, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    eng = QueryEngine(spark, d)
+    try:
+        assert eng.topk(["def"], k=3).count() == 3  # warm the caches
+
+        new_id = int(tiny_corpus.agg(F.max("doc_id")).first()[0]) + 1
+        add = pd.DataFrame(
+            {"doc_id": [new_id], "content": ["zzzautorefresh only content"]}
+        )
+        merge.add_documents(spark, spark.createDataFrame(add), d)
+        got = eng.topk(["zzzautorefresh"], k=5).toPandas()
+        assert set(got["doc_id"]) == {new_id}
+
+        merge.delete_documents(spark, d, [new_id])
+        assert eng.topk(["zzzautorefresh"], k=5).count() == 0
+    finally:
+        eng.close()
