@@ -77,7 +77,13 @@ class QueryEngine:
         from open_source_search_engine_spark.index.lists import live_doc_meta
 
         self._doc_meta = live_doc_meta(self.spark, self.index_dir, self.meta)
-        self.tombstones = W._load_tombstones(self.spark, self.index_dir)
+        # size-switched (ADVICE r04 medium): after a mass delete the
+        # warm engine keeps a DataFrame plan instead of materializing a
+        # corpus-scale tombstone table on the driver; every query entry
+        # point then ships it to the kernels via a cogrouped shuffle
+        self._ts_arrays, self._ts_df = W.tombstones_plan(
+            self.spark, self.index_dir
+        )
 
     def refresh(self) -> None:
         """Pick up new generations/tombstones (after add/delete)."""
@@ -113,8 +119,8 @@ class QueryEngine:
             F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
         ).select(*cols)
 
-    def tombstone_arrays(self):
-        return self.tombstones
+    def tombstones_plan(self):
+        return self._ts_arrays, self._ts_df
 
     def doc_meta_df(self) -> DataFrame:
         return self._doc_meta
@@ -138,8 +144,15 @@ class QueryEngine:
         seg = self.segments.filter(
             F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
         ).select(*W.KERNEL_INPUT_COLS)
-        kernel = W.make_salt_kernel(tids, k, mode, self.tombstones)
-        local = seg.groupBy("salt").applyInPandas(kernel, W.KERNEL_SCHEMA)
+        from open_source_search_engine_spark.index.lists import (
+            apply_tombstone_aware,
+        )
+
+        local = apply_tombstone_aware(
+            self.spark, self, seg, ("salt",),
+            lambda arrays: W.make_salt_kernel(tids, k, mode, arrays),
+            W.KERNEL_SCHEMA,
+        )
         if mode == "and":
             local = local.filter(F.col("n_terms") == len(tids))
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

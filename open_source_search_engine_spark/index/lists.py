@@ -35,9 +35,9 @@ from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.index.builder import load_meta
 from open_source_search_engine_spark.index.segments import decode_blocks
+from open_source_search_engine_spark.index import wand as W
 from open_source_search_engine_spark.index.wand import (
     KERNEL_INPUT_COLS,
-    _load_tombstones,
     query_term_rows,
 )
 
@@ -85,7 +85,12 @@ def live_doc_meta(spark: SparkSession, index_dir, meta: dict) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.max("before_generation").alias("before_generation"))
         )
-        dm = dm.join(F.broadcast(ts), "doc_id", "left").filter(
+        # broadcast only the trickle-delete case; a mass delete joins
+        # by shuffle (both sides keyed on doc_id) instead of pushing a
+        # corpus-scale table through the driver (VERDICT r04 item 1)
+        if W._tombstones_on_disk_bytes(index_dir) <= W.TOMBSTONE_DRIVER_MAX_BYTES:
+            ts = F.broadcast(ts)
+        dm = dm.join(ts, "doc_id", "left").filter(
             F.col("before_generation").isNull()
             | (F.col("gen") >= F.col("before_generation"))
         )
@@ -95,7 +100,7 @@ def live_doc_meta(spark: SparkSession, index_dir, meta: dict) -> DataFrame:
 class ColdIndex:
     """One-shot handle: every accessor re-reads from disk. The warm
     sibling is index.engine.QueryEngine (same duck-typed surface:
-    ``meta``, ``term_rows``, ``pruned_segments``, ``tombstone_arrays``,
+    ``meta``, ``term_rows``, ``pruned_segments``, ``tombstones_plan``,
     ``doc_meta_df``) — every operator in this module and in
     operators/indexed.py accepts either, so query loops pay listing /
     dictionary / tombstone IO once (RdbCache, SURVEY.md §4)."""
@@ -120,8 +125,8 @@ class ColdIndex:
             cols.append("pos_blob")
         return seg.select(*cols)
 
-    def tombstone_arrays(self):
-        return _load_tombstones(self.spark, self.index_dir)
+    def tombstones_plan(self):
+        return W.tombstones_plan(self.spark, self.index_dir)
 
     def doc_meta_df(self) -> DataFrame:
         return live_doc_meta(self.spark, self.index_dir, self.meta)
@@ -130,6 +135,57 @@ class ColdIndex:
 def as_handle(spark: SparkSession, ix) -> "ColdIndex":
     """Normalize a str/Path index dir or an already-warm handle."""
     return ix if hasattr(ix, "pruned_segments") else ColdIndex(spark, ix)
+
+
+def apply_tombstone_aware(
+    spark: SparkSession,
+    ix,
+    seg: DataFrame,
+    group_cols: tuple[str, ...],
+    kernel_factory,
+    out_schema: str,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """Run a per-group decode kernel with size-switched tombstone
+    shipping — the ONE mass-delete guard every indexed read path shares
+    (VERDICT r04 item 1; mirrors Msg5 merging negative keys shard-side,
+    SURVEY.md §1.1, never through a coordinator).
+
+    ``kernel_factory(arrays) -> kernel(pdf) -> pdf`` closes over the
+    (doc_id, before_generation) annihilation arrays. Below
+    TOMBSTONE_DRIVER_MAX_BYTES the arrays load driver-side once and the
+    plain groupBy path runs unchanged (zero extra shuffle). Above it,
+    the aggregated tombstone table is replicated to every group key
+    (salts × touched buckets — bounded by the QUERY's bucket set, so
+    the blow-up is n_salts × |query terms'| buckets, not corpus-scale;
+    doc-range salts drift across generations, so every salt needs the
+    full per-doc set — same argument as wand_topk's cogroup) and
+    cogrouped into the kernels. Per-task memory is O(|tombstones|);
+    past that point the answer is merge/compact, which prunes the
+    table. Kernels must tolerate an empty input frame (a group present
+    only on the tombstone side)."""
+    arrays, ts_df = ix.tombstones_plan()
+    if ts_df is None:
+        return seg.groupBy(*group_cols).applyInPandas(
+            kernel_factory(arrays), out_schema
+        )
+    n_salts = ix.meta["config"]["n_salts"]
+    keys = spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+    if "bucket" in group_cols:
+        keys = keys.crossJoin(
+            spark.createDataFrame([(int(b),) for b in sorted(buckets)], "bucket int")
+        )
+    ts_rep = ts_df.crossJoin(keys)
+
+    def cokernel(seg_pdf: pd.DataFrame, ts_pdf: pd.DataFrame) -> pd.DataFrame:
+        arrays2 = W._arrays_from_pdf(ts_pdf[["doc_id", "before_generation"]])
+        return kernel_factory(arrays2)(seg_pdf)
+
+    return (
+        seg.groupBy(*group_cols)
+        .cogroup(ts_rep.groupBy(*group_cols))
+        .applyInPandas(cokernel, out_schema)
+    )
 
 
 def term_postings(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame:
@@ -143,34 +199,40 @@ def term_postings(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame
         return spark.createDataFrame([], POSTING_SCHEMA)
     tids = sorted({int(r["term_id"]) for r in trows})
     seg = ix.pruned_segments(tids)
-    tombstones = ix.tombstone_arrays()
+    n_buckets = ix.meta["config"]["n_buckets"]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for tid, rows in pdf.groupby("term_id"):
-            docs, tfs, scores = decode_blocks(rows, tombstones=tombstones)
-            outs.append(
-                pd.DataFrame(
+    def kernel_factory(tombstones):
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for tid, rows in pdf.groupby("term_id"):
+                docs, tfs, scores = decode_blocks(rows, tombstones=tombstones)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term_id": np.full(docs.size, tid, dtype=np.int64),
+                            "doc_id": docs,
+                            "tf": tfs.astype(np.int32),
+                            "score": scores,
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
                     {
-                        "term_id": np.full(docs.size, tid, dtype=np.int64),
-                        "doc_id": docs,
-                        "tf": tfs.astype(np.int32),
-                        "score": scores,
+                        "term_id": pd.Series(dtype="int64"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "tf": pd.Series(dtype="int32"),
+                        "score": pd.Series(dtype="float64"),
                     }
                 )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "term_id": pd.Series(dtype="int64"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "tf": pd.Series(dtype="int32"),
-                    "score": pd.Series(dtype="float64"),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+            return pd.concat(outs, ignore_index=True)
 
-    return seg.groupBy("salt", "bucket").applyInPandas(kernel, POSTING_SCHEMA)
+        return kernel
+
+    return apply_tombstone_aware(
+        spark, ix, seg, ("salt", "bucket"), kernel_factory, POSTING_SCHEMA,
+        buckets=sorted({t % n_buckets for t in tids}),
+    )
 
 
 def term_id_map(spark: SparkSession, index_dir, terms: list[str]) -> dict[str, int]:
@@ -201,9 +263,17 @@ def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
     word_tids = [tmap[w] for w in words]
     tids = sorted(set(word_tids))
     seg = ix.pruned_segments(tids, with_positions=True)
-    tombstones = ix.tombstone_arrays()
     n_words = len(words)
 
+    def kernel_factory(tombstones):
+        return _phrase_kernel(word_tids, n_words, tombstones)
+
+    return apply_tombstone_aware(
+        spark, ix, seg, ("salt",), kernel_factory, PHRASE_SCHEMA
+    )
+
+
+def _phrase_kernel(word_tids: list[int], n_words: int, tombstones):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from open_source_search_engine_spark.index.segments import gather_flat
 
@@ -265,4 +335,4 @@ def phrase_docs(spark: SparkSession, index_dir, words: list[str]) -> DataFrame:
         out = cand[np.unique(starts // M)]
         return pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})
 
-    return seg.groupBy("salt").applyInPandas(kernel, PHRASE_SCHEMA)
+    return kernel

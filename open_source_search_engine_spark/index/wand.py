@@ -109,11 +109,10 @@ def _load_tombstones(
     spark: SparkSession, index_dir: str | Path
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Driver-side (doc_id, bar) arrays for in-kernel annihilation.
-    Right for the small/common case only — wand_topk auto-switches to
-    the cogrouped shuffle above TOMBSTONE_DRIVER_MAX_BYTES; the
-    positional/boolean list paths (index/lists.py) stay on this loader,
-    so after a mass delete run merge/compact (which prunes the table)
-    before heavy phrase/boolean workloads."""
+    Right for the small/common case only — every read path (wand_topk,
+    the positional/boolean kernels in index/lists.py, the warm
+    QueryEngine) switches to cogrouped shipping above
+    TOMBSTONE_DRIVER_MAX_BYTES via tombstones_plan()."""
     tdir = Path(index_dir) / "tombstones"
     if not tdir.exists():
         return None
@@ -121,6 +120,31 @@ def _load_tombstones(
 
     pdf = ds.dataset(str(tdir), format="parquet").to_table().to_pandas()
     return _arrays_from_pdf(pdf)
+
+
+def tombstones_plan(
+    spark: SparkSession, index_dir: str | Path
+) -> tuple[tuple[np.ndarray, np.ndarray] | None, DataFrame | None]:
+    """(driver_arrays, ts_df) — the size-switched tombstone access plan
+    every read path shares (VERDICT r04 item 1: the positional/boolean
+    paths previously loaded the FULL table driver-side).
+
+    At most one element is non-None: below TOMBSTONE_DRIVER_MAX_BYTES
+    (trickle deletes — the common case; merges prune the table besides)
+    the (doc_id, before_generation) arrays load driver-side, one
+    pyarrow read, zero extra shuffle. Above it (a mass delete, e.g. a
+    retention sweep through the delete_documents DataFrame overload)
+    the caller gets an aggregated DataFrame instead and must ship it to
+    its kernels via a cogrouped shuffle — the Msg5 shape: negative keys
+    merged shard-side, never through a coordinator (SURVEY.md §1.1)."""
+    if _tombstones_on_disk_bytes(index_dir) <= TOMBSTONE_DRIVER_MAX_BYTES:
+        return _load_tombstones(spark, index_dir), None
+    ts = (
+        spark.read.parquet(str(Path(index_dir) / "tombstones"))
+        .groupBy("doc_id")
+        .agg(F.max("before_generation").alias("before_generation"))
+    )
+    return None, ts
 
 
 def _blocks_overlapping(
@@ -168,7 +192,9 @@ def make_salt_kernel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term = {t: g for t, g in pdf.groupby("term_id")}
-        if mode == "and" and len(per_term) < n_q:
+        # empty group (cogrouped tombstone shipping can surface a salt
+        # with tombstones but no postings) or unsatisfiable AND
+        if len(per_term) == 0 or (mode == "and" and len(per_term) < n_q):
             return pd.DataFrame({"doc_id": [], "score": [], "n_terms": []}).astype(
                 {"doc_id": "int64", "score": "float64", "n_terms": "int32"}
             )
@@ -283,9 +309,9 @@ def wand_topk(
     # parquet scan prunes the (largest) column entirely
     seg = seg.select(*KERNEL_INPUT_COLS)
 
-    if _tombstones_on_disk_bytes(index_dir) <= TOMBSTONE_DRIVER_MAX_BYTES:
-        tombstones = _load_tombstones(spark, index_dir)
-        kernel = make_salt_kernel(tids, k, mode, tombstones)
+    tombstones_arrays, ts_df = tombstones_plan(spark, index_dir)
+    if ts_df is None:
+        kernel = make_salt_kernel(tids, k, mode, tombstones_arrays)
         local = seg.groupBy("salt").applyInPandas(kernel, KERNEL_SCHEMA)
     else:
         # mass-delete path: ship tombstones to the kernels through a
@@ -299,13 +325,8 @@ def wand_topk(
         # Per-task memory is still O(|tombstones|): past that point
         # the answer is merge/compact, which prunes the table.
         n_salts = meta["config"]["n_salts"]
-        ts = (
-            spark.read.parquet(str(Path(index_dir) / "tombstones"))
-            .groupBy("doc_id")
-            .agg(F.max("before_generation").alias("before_generation"))
-            .crossJoin(
-                spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
-            )
+        ts = ts_df.crossJoin(
+            spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
         )
         base_kernel = make_salt_kernel(tids, k, mode, None)
 

@@ -95,12 +95,11 @@ def proximity_topk_indexed(
         return spark.createDataFrame([], "doc_id long, score double")
     tids = sorted(tmap.values())
     seg = ix.pruned_segments(tids, with_positions=True)
-    tombstones = ix.tombstone_arrays()
     n_q = len(tids)
 
     from open_source_search_engine_spark.index.segments import decode_blocks
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, tombstones=None) -> pd.DataFrame:
         per_term = {}
         for tid, rows in pdf.groupby("term_id"):
             per_term[int(tid)] = decode_blocks(
@@ -175,7 +174,13 @@ def proximity_topk_indexed(
         order = np.lexsort((cand, -boosted))[:k]
         return pd.DataFrame({"doc_id": cand[order], "score": boosted[order]})
 
-    local = seg.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
+    from functools import partial
+
+    local = L.apply_tombstone_aware(
+        spark, ix, seg, ("salt",),
+        lambda arrays: partial(kernel, tombstones=arrays),
+        "doc_id long, score double",
+    )
     return (
         local.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
