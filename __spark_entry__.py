@@ -146,13 +146,21 @@ def _lsm_index(spark: SparkSession, sf_dir: str) -> Path:
 def _lsm_autocompacted(spark: SparkSession, sf_dir: str) -> Path:
     """Store maintained by the AUTOMATIC tiered merge policy
     (merge.maybe_compact / merge_deltas — RdbBase::attemptMerge,
-    SURVEY.md §1.1): gen-0 build over doc_id < 200, then THREE delta
-    adds (doc_id 200-350 split 3 ways) each through
-    ``max_generations=2``, which forces two delta-tier merges along
-    the way. Membership queries against it pin that the policy-merged
-    read path stays identical to the logical corpus (tf is exact per
-    doc; scored reads drift until full compact, so the entry is
-    unscored)."""
+    SURVEY.md §1.1): base build over doc_id < 200, then continuous-
+    ingest traffic confined to the DELTA tier — three adds (doc_id
+    200-350 split 3 ways), a replace of doc_id in [200, 220) (text
+    gains the marker suffix) and a delete of doc_id % 20 == 7 within
+    [200, 300) — every mutation through ``max_generations=2``, forcing
+    delta-tier merges along the way, and the store is left UNCOMPACTED.
+
+    Format v2 + merge_deltas stats restoration make SCORED reads on
+    this store hash-identical to a fresh build over the logical corpus
+    (VERDICT r04 item 2): scores come from (tf, dl) + live stats at
+    read time, merge_deltas replaces the merged deltas' raw df with
+    their live df and recomputes n_docs/avgdl from the liveness view —
+    exact because no BASE-generation doc is masked (base-doc mutations
+    keep their raw df counted until compact, Lucene docFreq
+    semantics). The merged_topk entry pins exactly that."""
     key = sf_dir + "#lsmauto"
     if key not in _IDX_CACHE:
         import tempfile
@@ -168,14 +176,40 @@ def _lsm_autocompacted(spark: SparkSession, sf_dir: str) -> Path:
             cfg=EngineConfig(n_buckets=8, n_salts=2, block_size=64),
             text_col="text",
         )
-        for lo, hi in ((200, 250), (250, 300), (300, 350)):
+        for lo, hi in ((200, 250), (250, 300)):
             idx_merge.add_documents(
                 spark,
                 docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
                 d,
                 max_generations=2,
             )
-        assert len(idx_merge.current_generations(d)) <= 2
+        # delta-tier mutations: replace + delete docs that live only in
+        # delta generations (never the base)...
+        upd = docs.filter(
+            (F.col("doc_id") >= 200) & (F.col("doc_id") < 220)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(LSM_SUFFIX)))
+        idx_merge.add_documents(spark, upd, d, replace=True, max_generations=2)
+        idx_merge.delete_documents(
+            spark,
+            d,
+            docs.filter(
+                (F.col("doc_id") >= 200)
+                & (F.col("doc_id") < 300)
+                & (F.col("doc_id") % 20 == 7)
+            ).select("doc_id"),
+        )
+        # ...then one more policy add, whose triggered merge_deltas
+        # folds the mutations' df adjustments and recomputes
+        # n_docs/avgdl from the liveness view — the store ends
+        # UNCOMPACTED but stats-exact
+        merged = idx_merge.add_documents(
+            spark,
+            docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)),
+            d,
+            max_generations=2,
+        )
+        gens = idx_merge.current_generations(d)
+        assert len(gens) <= 2 and gens[0] == 0, gens  # base untouched
         _IDX_CACHE[key] = d
     return _IDX_CACHE[key]
 
@@ -197,6 +231,23 @@ def _lsm_compacted(spark: SparkSession, sf_dir: str) -> Path:
         idx_merge.compact(spark, d)
         _IDX_CACHE[key] = d
     return _IDX_CACHE[key]
+
+
+def _lsm_auto_oracle(sql: str) -> str:
+    """Mutated-corpus CTE for the _lsm_autocompacted store: doc_id <
+    350, docs [200, 220) text-suffixed, doc_id %% 20 == 7 in [200, 300)
+    deleted — the exact delta-tier mutations applied above."""
+    body = sql.lstrip()
+    assert body.upper().startswith("WITH")
+    return f"""WITH __base AS (SELECT * FROM main.documents),
+documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id >= 200 AND doc_id < 220 THEN text || '{LSM_SUFFIX}' ELSE text END AS text,
+         lang, source, n_chars
+  FROM __base
+  WHERE doc_id < 350
+    AND NOT (doc_id >= 200 AND doc_id < 300 AND doc_id % 20 = 7)
+),{body[4:]}"""
 
 
 def _lsm_oracle(sql: str) -> str:
@@ -438,6 +489,10 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # automatic tiered merge policy (maybe_compact): 3 deltas
         # through max_generations=2, membership read on the result
         "lsm_autocompact_contains": lambda s, d: _lsm_q(s, d, "autocompact"),
+        # scored top-k on the UNCOMPACTED policy-merged store — pins
+        # that v2 read-time scoring + merge_deltas stats restoration
+        # give exact BM25 under continuous delta-tier ingest
+        "lsm_merged_topk": lambda s, d: _lsm_q(s, d, "merged_topk"),
         # --- streaming incremental build (§2.10): generations written
         # by the availableNow file stream, positions served merged ---
         "streaming_incremental_phrase": lambda s, d: _stream_phrase_q(s, d),
@@ -518,8 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "lsm_delete_and_intersect": _lsm_oracle(
             osql.and_intersect_sql(["join", "hash", "scan"])
         ),
-        "lsm_autocompact_contains": _subset_oracle(
-            osql.term_lookup_sql("join"), "doc_id < 350"
+        "lsm_autocompact_contains": _lsm_auto_oracle(osql.term_lookup_sql("join")),
+        "lsm_merged_topk": _lsm_auto_oracle(
+            osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10)
         ),
         "lsm_update_topk": _lsm_oracle(osql.bm25_topk_sql(FLAGSHIP_TERMS, k=10)),
         "streaming_incremental_phrase": _subset_oracle(
@@ -595,6 +651,11 @@ def _lsm_q(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         )
     if kind == "autocompact":
         return indexed.term_lookup(spark, _lsm_autocompacted(spark, sf_dir), "join")
+    if kind == "merged_topk":
+        # scored, UNcompacted, policy-merged (VERDICT r04 item 2)
+        return indexed.bm25_topk(
+            spark, _lsm_autocompacted(spark, sf_dir), FLAGSHIP_TERMS, k=10
+        )
     # scored top-k on the compacted store (exact stats over live set)
     return indexed.bm25_topk(
         spark, _lsm_compacted(spark, sf_dir), FLAGSHIP_TERMS, k=10
@@ -799,6 +860,9 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         ("update_contains", "lsm_update_contains"),
         ("delete_and", "lsm_delete_and_intersect"),
         ("autocompact_contains", "lsm_autocompact_contains"),
+        # SCORED top-k on the uncompacted policy-merged store (score
+        # column null-pads the membership variants)
+        ("merged_topk", "lsm_merged_topk"),
     ],
 }
 

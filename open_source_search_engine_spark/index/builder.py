@@ -50,9 +50,9 @@ from pyspark.sql import functions as F
 from open_source_search_engine_spark.config import EngineConfig
 from open_source_search_engine_spark.index.segments import (
     BLOCK_SCHEMA,
+    SEGMENT_FORMAT,
     make_encode_kernel,
 )
-from open_source_search_engine_spark.operators.bm25 import bm25_term_score_col
 from open_source_search_engine_spark.operators.postings import staged_postings
 from open_source_search_engine_spark.operators.stats import term_stats
 
@@ -73,31 +73,48 @@ def _salt_col(doc_id: F.Column, max_doc_id: int, n_salts: int) -> F.Column:
 def load_meta(index_dir: str | Path, recover: bool = False) -> dict:
     """Read meta.json. ``recover=True`` (writer paths only — the next
     add_documents/compact/build) additionally repairs a half-finished
-    term_dict swap. Readers never mutate the index directory: a reader
-    promoting term_dict_next concurrently with a writer's two renames
-    can make the writer's rename fail, and read-only mounts would raise
-    (ADVICE r02)."""
+    term_dict or doc_meta swap. Readers never mutate the index
+    directory: a reader promoting a _next dir concurrently with a
+    writer's two renames can make the writer's rename fail, and
+    read-only mounts would raise (ADVICE r02)."""
     if recover:
-        _recover_term_dict(Path(index_dir))
-    return json.loads((Path(index_dir) / "meta.json").read_text())
+        _recover_swaps(Path(index_dir))
+    meta = json.loads((Path(index_dir) / "meta.json").read_text())
+    if meta.get("format", 1) != SEGMENT_FORMAT:
+        raise ValueError(
+            f"index at {index_dir} is segment format "
+            f"v{meta.get('format', 1)}; this engine reads v{SEGMENT_FORMAT} "
+            "(stats-free blocks, scores computed at read time) — rebuild "
+            "with builder.build_index"
+        )
+    return meta
 
 
-def _recover_term_dict(index_dir: Path) -> None:
-    """Crash recovery for the term_dict swap (merge.add_documents):
-    if a crash landed between the two renames, term_dict is missing
-    but term_dict_next (complete — written before any rename) exists;
-    promote it. A leftover term_dict_old is always stale — drop it."""
-    td = index_dir / "term_dict"
-    nxt = index_dir / "term_dict_next"
-    old = index_dir / "term_dict_old"
-    if not td.exists() and nxt.exists():
-        nxt.rename(td)
-    if td.exists() and old.exists():
-        shutil.rmtree(old, ignore_errors=True)
+def _recover_swaps(index_dir: Path) -> None:
+    """Crash recovery for the rename-aside swaps (term_dict in
+    add/merge/compact; doc_meta in compact): if a crash landed between
+    the two renames, the live dir is missing but its *_next (complete —
+    written before any rename) exists; promote it. A leftover *_old is
+    always stale — drop it. A leftover *_next alongside a live dir is
+    overwritten by the next writer (mode=overwrite)."""
+    for name in ("term_dict", "doc_meta"):
+        live = index_dir / name
+        nxt = index_dir / f"{name}_next"
+        old = index_dir / f"{name}_old"
+        if not live.exists() and nxt.exists():
+            nxt.rename(live)
+        if live.exists() and old.exists():
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def _write_meta(index_dir: Path, meta: dict) -> None:
-    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
+    """Atomic (temp + rename): meta.json is THE commit pointer — readers
+    filter segment scans to meta['generations'], so a torn/partial
+    write would break every concurrent query (ADVICE r04: the
+    merge-swap window). rename(2) on one filesystem is atomic."""
+    tmp = index_dir / f"meta.json.tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(meta, indent=1, sort_keys=True))
+    tmp.rename(index_dir / "meta.json")
 
 
 def refresh_read_caches(spark: SparkSession, index_dir: str | Path) -> None:
@@ -119,39 +136,8 @@ def refresh_read_caches(spark: SparkSession, index_dir: str | Path) -> None:
             spark.catalog.refreshByPath(str(p))
 
 
-def scored_postings_df(
-    posts: DataFrame,
-    meta_df: DataFrame | None,
-    tdict: DataFrame,
-    n_docs: float,
-    avgdl: float,
-    cfg: EngineConfig,
-) -> DataFrame:
-    """Attach the precomputed float64 BM25 contribution to every
-    posting (static-feature precompute, SURVEY.md §4). tdict supplies
-    global df; broadcast — it is ~vocabulary-sized.
-
-    ``meta_df=None`` means posts already carry a ``doc_len`` column
-    (fast_postings emits it in-batch): the scoring is then a single
-    broadcast join + column math, with NO shuffle of the postings by
-    doc_id. Pass a meta_df only for posting sources without doc_len
-    (e.g. compact's segment-decoded postings)."""
-    if meta_df is not None:
-        posts = posts.join(meta_df.select("doc_id", "doc_len"), "doc_id")
-    return (
-        posts.join(F.broadcast(tdict.select("term_id", "df")), "term_id")
-        .withColumn(
-            "score",
-            bm25_term_score_col(
-                F.col("tf"), F.col("df"), F.col("doc_len"),
-                F.lit(float(n_docs)), F.lit(float(avgdl)), cfg,
-            ),
-        )
-    )
-
-
 def _encode_and_write(
-    scored: DataFrame,
+    posts: DataFrame,
     index_dir: Path,
     generation: int,
     buckets: list[int] | None,
@@ -159,21 +145,21 @@ def _encode_and_write(
     input_snapshot: str,
     max_doc_id: int,
 ) -> None:
-    """Encode (a subset of buckets of) scored postings into block rows,
+    """Encode (a subset of buckets of) postings into block rows,
     write segments + manifest rows.
 
-    ``scored`` needs only (term_id, doc_id, tf, score): the repartition
+    ``posts`` needs only (term_id, doc_id, tf, doc_len): the repartition
     below is THE salted shuffle — it hashes on the (bucket, salt)
     EXPRESSIONS without materializing them as columns (8 fewer bytes
     per shuffled posting), spreading a Zipf head term over n_salts
     partitions; the mapInPandas kernel recomputes bucket/salt in numpy
     and encodes its whole partition in one pass (segments.py
     make_encode_kernel)."""
-    spark = scored.sparkSession
-    cols = ["term_id", "doc_id", "tf", "score"]
-    if cfg.store_positions and "pos_blob" in scored.columns:
+    spark = posts.sparkSession
+    cols = ["term_id", "doc_id", "tf", "doc_len"]
+    if cfg.store_positions and "pos_blob" in posts.columns:
         cols.append("pos_blob")
-    sel = scored.select(*cols)
+    sel = posts.select(*cols)
     bucket_expr = F.pmod(F.col("term_id"), F.lit(cfg.n_buckets)).cast("int")
     if buckets is not None:
         sel = sel.filter(bucket_expr.isin(buckets))
@@ -450,6 +436,7 @@ def build_index(
             "term"
         ).write.mode("overwrite").parquet(str(td_dir))
         meta = {
+            "format": SEGMENT_FORMAT,
             "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
             "n_docs": float(stats_row["n_docs"]),
             "avgdl": float(stats_row["avgdl"]),
@@ -470,15 +457,14 @@ def build_index(
             shutil.rmtree(staging, ignore_errors=True)
             return meta
 
-    tdict = spark.read.parquet(str(td_dir))
-    scored = scored_postings_df(
-        posts, None, tdict, meta["n_docs"], meta["avgdl"], cfg
-    )
+    # v2: no scoring join — the encoder persists (tf, dl) and reads
+    # score with the live stats; the build's hottest job loses the
+    # df broadcast join and the 8-byte score column from the shuffle
     # _encode_and_write writes a manifest row for EVERY bucket it was
     # responsible for (empty ones included) — generation 0 is complete
     # when it returns
     _encode_and_write(
-        scored, index_dir, 0, todo, cfg, input_snapshot, meta["max_doc_id"]
+        posts, index_dir, 0, todo, cfg, input_snapshot, meta["max_doc_id"]
     )
     # build committed — drop the staging checkpoint
     shutil.rmtree(staging, ignore_errors=True)

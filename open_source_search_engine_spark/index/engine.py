@@ -116,7 +116,9 @@ class QueryEngine:
         if with_positions:
             cols.append("pos_blob")
         return self.segments.filter(
-            F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
+            F.col("generation").isin([int(g) for g in self.meta["generations"]])
+            & F.col("bucket").isin(buckets)
+            & F.col("term_id").isin(tids)
         ).select(*cols)
 
     def tombstones_plan(self):
@@ -142,15 +144,18 @@ class QueryEngine:
         tids = sorted({int(r["term_id"]) for r in trows})
         buckets = sorted({t % self.n_buckets for t in tids})
         seg = self.segments.filter(
-            F.col("bucket").isin(buckets) & F.col("term_id").isin(tids)
+            F.col("generation").isin([int(g) for g in self.meta["generations"]])
+            & F.col("bucket").isin(buckets)
+            & F.col("term_id").isin(tids)
         ).select(*W.KERNEL_INPUT_COLS)
         from open_source_search_engine_spark.index.lists import (
             apply_tombstone_aware,
         )
 
+        scoring = W.scoring_ctx(self.meta, trows)
         local = apply_tombstone_aware(
             self.spark, self, seg, ("salt",),
-            lambda arrays: W.make_salt_kernel(tids, k, mode, arrays),
+            lambda arrays: W.make_salt_kernel(tids, k, mode, arrays, scoring),
             W.KERNEL_SCHEMA,
         )
         if mode == "and":

@@ -119,7 +119,13 @@ class ColdIndex:
         n_buckets = self.meta["config"]["n_buckets"]
         buckets = sorted({t % n_buckets for t in tids})
         seg = self.spark.read.parquet(str(self.index_dir / "segments"))
-        seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+        # snapshot isolation: only generations the meta commit pointer
+        # references (a concurrent merge's staged dirs are invisible)
+        seg = seg.filter(
+            F.col("generation").isin([int(g) for g in self.meta["generations"]])
+            & F.col("bucket").isin(buckets)
+            & F.col("term_id").isin(tids)
+        )
         cols = list(KERNEL_INPUT_COLS) + ["bucket"]
         if with_positions:
             cols.append("pos_blob")
@@ -200,12 +206,16 @@ def term_postings(spark: SparkSession, index_dir, terms: list[str]) -> DataFrame
     tids = sorted({int(r["term_id"]) for r in trows})
     seg = ix.pruned_segments(tids)
     n_buckets = ix.meta["config"]["n_buckets"]
+    idf_by, avgdl, k1, b = W.scoring_ctx(ix.meta, trows)
 
     def kernel_factory(tombstones):
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             outs = []
             for tid, rows in pdf.groupby("term_id"):
-                docs, tfs, scores = decode_blocks(rows, tombstones=tombstones)
+                docs, tfs, scores = decode_blocks(
+                    rows, tombstones=tombstones,
+                    rescore=(idf_by[int(tid)], avgdl, k1, b),
+                )
                 outs.append(
                     pd.DataFrame(
                         {

@@ -14,18 +14,34 @@ LSM semantics lifted from the reference (SURVEY.md §1.1, §2.10):
     annihilation). Queries apply them at read time (Msg5-style merged
     read); ``replace=True`` adds makes updates: old version
     annihilated, new version indexed.
-  * ``compact``          → the tiered merge (RdbBase::attemptMerge /
+  * ``compact``          → the full merge (RdbBase::attemptMerge /
     RdbMerge.cpp): decode all generations back to posting tuples
-    (vectorized mapInPandas), drop tombstoned versions, rebuild a
-    fresh generation-0 index with exact global stats. Sorted order is
+    (vectorized mapInPandas), drop tombstoned versions, rebuild ONE
+    fresh base generation with exact global stats. Sorted order is
     re-established per (bucket, salt) partition by the encoder — a
     distributed sorted merge expressed as shuffle + sortWithinPartitions
-    rather than a hand-written k-way file merge.
+    rather than a hand-written k-way file merge. The rebuilt store is
+    committed by an ATOMIC meta.json flip (readers filter segment scans
+    to meta['generations'], so they see the old store or the new one,
+    never a half-swapped tree — ADVICE/VERDICT r04 item 4); the base
+    generation number therefore keeps increasing across compactions
+    instead of resetting to 0.
+
+Stats exactness (format v2, VERDICT r04 item 2): blocks store only
+(tf, dl) and scores are computed at read time from the live
+(df, N, avgdl), so scored reads are exact whenever term_dict/meta are.
+``add_documents`` keeps them exact for adds (df folds in; N/avgdl from
+the tombstone-filtered liveness view); ``merge_deltas`` restores
+exactness after replaces/deletes WITHIN the delta tier by replacing the
+merged deltas' raw df contribution with their live one (both aggregates
+over data the merge already touches). The one remaining approximation
+is Lucene's: postings of base-generation docs masked by tombstones
+still count toward df until ``compact`` (docFreq-includes-deletes
+semantics; the reference drifts far more, Posdb::getTermFreq).
 """
 
 from __future__ import annotations
 
-import json
 import shutil
 from collections.abc import Iterator
 from pathlib import Path
@@ -78,10 +94,55 @@ def _cfg_from_meta(meta: dict) -> EngineConfig:
 
 
 def current_generations(index_dir: str | Path) -> list[int]:
+    """Generation numbers present ON DISK — used only to pick fresh
+    (collision-free) numbers for new generations. Membership questions
+    (what is live, what merges, tombstone bars) use meta['generations']
+    — the commit pointer — so garbage dirs left by a crashed merge can
+    never inflate a delete bar or trigger a spurious merge."""
     seg = Path(index_dir) / "segments"
     return sorted(
         int(p.name.split("=")[1]) for p in seg.glob("generation=*") if p.is_dir()
     )
+
+
+def _next_gen(index_dir: Path, meta: dict) -> int:
+    return max([*current_generations(index_dir), *meta["generations"]]) + 1
+
+
+def _live_doc_stats(spark: SparkSession, index_dir: Path):
+    """Exact (n_docs, avgdl, max_doc_id) over the LIVE document set:
+    newest doc_meta row per doc, minus tombstoned docs — the read
+    path's liveness rule, applied to stats so scored reads stay exact
+    under deletes too (v2 read-time scoring uses meta's N/avgdl)."""
+    dm = (
+        spark.read.parquet(str(index_dir / "doc_meta"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by("doc_len", "gen").alias("doc_len"),
+            F.max("gen").alias("gen"),
+        )
+    )
+    dm = _apply_tombstones(dm, _tombstones_per_doc(spark, index_dir), gen_col="gen")
+    return dm.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+    ).collect()[0]
+
+
+def _swap_term_dict(index_dir: Path, merged_dict: DataFrame) -> None:
+    """Crash-safe term_dict replacement: old dict is renamed aside
+    (cheap) before the new one takes its place, so no instant exists
+    with NO term_dict on disk; builder.load_meta recovers from
+    term_dict_next if a crash lands between the renames."""
+    tmp_dict = index_dir / "term_dict_next"
+    old_dict_dir = index_dir / "term_dict_old"
+    merged_dict.write.mode("overwrite").parquet(str(tmp_dict))
+    if old_dict_dir.exists():
+        shutil.rmtree(old_dict_dir)
+    (index_dir / "term_dict").rename(old_dict_dir)
+    tmp_dict.rename(index_dir / "term_dict")
+    shutil.rmtree(old_dict_dir)
 
 
 # tombstone tables up to this on-disk size ship as a map-side hash
@@ -131,14 +192,15 @@ def _apply_tombstones(
 
 
 def _live_postings(
-    spark: SparkSession, index_dir: Path, generations: list[int] | None = None
+    spark: SparkSession, index_dir: Path, generations: list[int]
 ) -> DataFrame:
     """decode → tombstone-filter → newest-generation-wins: the shared
     merged read (Msg5's view of an Rdb) used by both ``compact`` (all
-    generations) and ``merge_deltas`` (the delta tier only)."""
+    committed generations) and ``merge_deltas`` (the delta tier only).
+    ``generations`` is always explicit (from meta['generations']) so a
+    crashed merge's garbage dirs are never decoded."""
     seg = spark.read.parquet(str(index_dir / "segments"))
-    if generations is not None:
-        seg = seg.filter(F.col("generation").isin([int(g) for g in generations]))
+    seg = seg.filter(F.col("generation").isin([int(g) for g in generations]))
     posts = _apply_tombstones(
         decode_segments_to_postings(seg), _tombstones_per_doc(spark, index_dir)
     )
@@ -148,14 +210,17 @@ def _live_postings(
     return posts.groupBy("term_id", "doc_id").agg(*aggs)
 
 
-def _prune_tombstones(spark: SparkSession, index_dir: Path) -> None:
+def _prune_tombstones(
+    spark: SparkSession, index_dir: Path, base_generations: list[int]
+) -> None:
     """Drop tombstone rows that no longer mask anything, and collapse
     the rest to one row per doc. After a delta merge a tombstone
-    ``(doc_id, bg)`` still matters iff it masks (a) base-generation
-    postings — the doc was in the generation-0 build, i.e. doc_meta
-    has a gen-0 row (every surviving delta posting carries a
-    generation above every existing bg, so only generation 0 can be
-    masked) — or (b) the doc_meta liveness view — the doc's newest
+    ``(doc_id, bg)`` still matters iff it masks (a) BASE-generation
+    postings — the doc was in the base build, i.e. doc_meta has a row
+    at the base generation (min of meta['generations']; 0 for a fresh
+    build, higher after a compact — every surviving delta posting
+    carries a generation above every existing bg, so only the base can
+    be masked) — or (b) the doc_meta liveness view — the doc's newest
     meta row sits below bg (a doc added and then deleted entirely
     within the delta tier). The common replace-in-delta rows are dead
     after the merge, and without this sweep continuous replace-mode
@@ -165,18 +230,30 @@ def _prune_tombstones(spark: SparkSession, index_dir: Path) -> None:
     Crash-safe by construction: the pruned rows are APPENDED into the
     tombstones dir first (union semantics are unchanged — the pruned
     set is a semantic subset and reads take max-per-doc), then the old
-    files are unlinked; any crash point leaves a correct superset."""
+    files are unlinked. Concurrency (ADVICE r04): the old-file set is
+    globbed BEFORE the read plan is built and the read targets exactly
+    those files, so a tombstone file appended by a concurrent
+    delete_documents between listing and unlink is neither folded nor
+    deleted — no delete is ever silently lost; any crash point leaves a
+    correct superset."""
     tdir = Path(index_dir) / "tombstones"
-    tsd = _tombstones_per_doc(spark, index_dir)
-    if tsd is None:
+    if not tdir.exists():
         return
-    ts, _ = tsd
+    old_files = sorted(tdir.glob("*.parquet"))
+    if not old_files:
+        return
+    base_gen = min(int(g) for g in base_generations)
+    ts = (
+        spark.read.parquet(*[str(f) for f in old_files])
+        .groupBy("doc_id")
+        .agg(F.max("before_generation").alias("before_generation"))
+    )
     dm = (
         spark.read.parquet(str(index_dir / "doc_meta"))
         .groupBy("doc_id")
         .agg(
             F.max("gen").alias("max_gen"),
-            F.max((F.col("gen") == 0).cast("int")).alias("has_base"),
+            F.max((F.col("gen") == base_gen).cast("int")).alias("has_base"),
         )
     )
     live = (
@@ -187,7 +264,6 @@ def _prune_tombstones(spark: SparkSession, index_dir: Path) -> None:
         )
         .select("doc_id", F.col("before_generation").cast("int").alias("before_generation"))
     )
-    old_files = sorted(tdir.glob("*.parquet"))
     live.write.mode("append").parquet(str(tdir))
     for p in old_files:
         p.unlink()
@@ -208,7 +284,10 @@ def delete_documents(
     route ids through the driver — the same fan-out the replace branch
     of add_documents uses."""
     index_dir = Path(index_dir)
-    gen = max(current_generations(index_dir), default=0) + 1
+    # the bar comes from the COMMITTED generation set: a crashed
+    # merge's garbage dir must never inflate it past generations a
+    # future add will legitimately use (which the bar would mask)
+    gen = max(B.load_meta(index_dir)["generations"]) + 1
     if isinstance(doc_ids, DataFrame):
         doc_ids.select(
             F.col("doc_id").cast("long"),
@@ -253,7 +332,7 @@ def add_documents(
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
-    gen = max(current_generations(index_dir), default=0) + 1
+    gen = _next_gen(index_dir, meta)
     text_col, tok_mode = meta["text_col"], meta["tokenizer_mode"]
     tok_docs, tok_text_col = docs, text_col
     if anchor_edges is not None:
@@ -340,58 +419,42 @@ def add_documents(
         str(index_dir / "doc_meta")
     )
 
-    # refresh global stats + term_dict (df adds up; N/avgdl recomputed
-    # over the unioned doc_meta, newest row per doc — tiny agg row)
-    all_meta = (
-        spark.read.parquet(str(index_dir / "doc_meta"))
-        .groupBy("doc_id")
-        .agg(F.max_by("doc_len", "gen").alias("doc_len"))
-    )
-    row = all_meta.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-        F.max("doc_id").alias("max_doc_id"),
-    ).collect()[0]
+    # refresh global stats + term_dict (df adds up; N/avgdl over the
+    # LIVE doc set — tombstone-filtered, so deletes are reflected too
+    # and v2 read-time scoring stays exact under add+delete traffic)
+    row = _live_doc_stats(spark, index_dir)
     old_dict = spark.read.parquet(str(index_dir / "term_dict"))
     merged_dict = (
         old_dict.unionByName(term_stats(posts))
         .groupBy("term", "term_id")
         .agg(F.sum("df").alias("df"))
     )
-    # crash-safe swap: old dict is renamed aside (cheap) before the new
-    # one takes its place, so no instant exists with NO term_dict on
-    # disk; builder.load_meta recovers from term_dict_next if a crash
-    # lands between the renames.
-    tmp_dict = index_dir / "term_dict_next"
-    old_dict_dir = index_dir / "term_dict_old"
-    merged_dict.write.mode("overwrite").parquet(str(tmp_dict))
-    if old_dict_dir.exists():
-        shutil.rmtree(old_dict_dir)
-    (index_dir / "term_dict").rename(old_dict_dir)
-    tmp_dict.rename(index_dir / "term_dict")
-    shutil.rmtree(old_dict_dir)
-    # the dict just swapped: the re-score read below (and any warm
-    # handle's persisted copy) must not be served the pre-swap cache
+    _swap_term_dict(index_dir, merged_dict)
+    # the dict just swapped: any warm handle's persisted copy must not
+    # be served the pre-swap cache
     B.refresh_read_caches(spark, index_dir)
+
+    new_max = max(int(row["max_doc_id"]), meta["max_doc_id"])
+    try:
+        # encode BEFORE the meta flip: readers filter segment scans to
+        # meta['generations'], so the new generation only becomes
+        # visible once its files are complete. (In replace mode the
+        # tombstones are already visible — a replaced doc is briefly
+        # absent rather than briefly doubled, the standard LSM
+        # delete-before-add transient.)
+        B._encode_and_write(
+            posts, index_dir, gen, None, cfg, input_snapshot, new_max
+        )
+    finally:
+        posts.unpersist()
 
     meta.update(
         n_docs=float(row["n_docs"]),
         avgdl=float(row["avgdl"]),
-        max_doc_id=max(int(row["max_doc_id"]), meta["max_doc_id"]),
+        max_doc_id=new_max,
         generations=sorted(set(meta["generations"]) | {gen}),
     )
-    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
-
-    try:
-        tdict = spark.read.parquet(str(index_dir / "term_dict"))
-        scored = B.scored_postings_df(
-            posts, None, tdict, meta["n_docs"], meta["avgdl"], cfg
-        )
-        B._encode_and_write(
-            scored, index_dir, gen, None, cfg, input_snapshot, meta["max_doc_id"]
-        )
-    finally:
-        posts.unpersist()
+    B._write_meta(index_dir, meta)
     B.refresh_read_caches(spark, index_dir)
     if max_generations is not None:
         merged = maybe_compact(
@@ -450,16 +513,47 @@ def decode_segments_to_postings(seg: DataFrame) -> DataFrame:
     return seg.mapInPandas(it, schema)
 
 
+def _drop_unreferenced_generations(index_dir: Path, committed: list[int]) -> None:
+    """Remove generation dirs meta.json does not reference — garbage
+    left by a crashed merge/compact between encode and commit. Safe:
+    readers filter every segment scan to meta['generations']."""
+    for name in ("segments", "manifest"):
+        base = index_dir / name
+        if not base.exists():
+            continue
+        for p in base.glob("generation=*"):
+            if p.is_dir() and int(p.name.split("=")[1]) not in committed:
+                shutil.rmtree(p)
+
+
 def compact(spark: SparkSession, index_dir: str | Path) -> dict:
-    """Full merge: all generations − tombstones → fresh generation-0
-    store with exact stats. Equivalent to a from-scratch build over the
-    live document set (SURVEY.md §5.5 merge test)."""
+    """Full merge: all committed generations − tombstones → ONE fresh
+    base generation with exact stats. Equivalent to a from-scratch
+    build over the live document set (SURVEY.md §5.5 merge test).
+
+    Reader/crash safety (VERDICT r04 item 4): the rebuilt segments are
+    written as a NEW generation (the base generation number keeps
+    increasing — it does not reset to 0), doc_meta/term_dict are
+    swapped by cheap renames with crash recovery
+    (builder._recover_swaps), and the commit is ONE atomic meta.json
+    rename. A concurrent reader sees the old store or the new one,
+    never a half-swapped tree (reads filter segment scans to
+    meta['generations']); a crash leaves either the old store plus
+    unreferenced garbage dirs (removed by the next compact) or the
+    committed new one plus stale side dirs (removed by
+    load_meta(recover=True) / the post-commit sweep on rerun). Old
+    generation dirs are deleted only AFTER the flip; an in-flight job
+    already planned on them can fail mid-scan — the documented
+    single-writer / reader-retry contract (an Iceberg deployment keeps
+    snapshots until expiry instead)."""
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
+    committed = [int(g) for g in meta["generations"]]
+    _drop_unreferenced_generations(index_dir, committed)
+    new_gen = _next_gen(index_dir, meta)
 
-    tdir = index_dir / "tombstones"
-    posts = _live_postings(spark, index_dir)
+    posts = _live_postings(spark, index_dir, generations=committed)
 
     # live doc_meta: liveness comes from doc_meta MINUS tombstones,
     # NOT from surviving posting doc_ids — a live doc with zero
@@ -491,30 +585,36 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
         )
     )
 
-    scored = B.scored_postings_df(posts, dm_live, new_dict, n_docs, avgdl, cfg)
+    # stage the new store as an UNREFERENCED generation + side dirs;
+    # nothing below is visible to readers until the meta rename
+    B._encode_and_write(
+        posts.join(dm_live.select("doc_id", "doc_len"), "doc_id"),
+        index_dir, new_gen, None, cfg, "compact", max_id,
+    )
+    dm_next = index_dir / "doc_meta_next"
+    dm_old = index_dir / "doc_meta_old"
+    dm_live.withColumn("gen", F.lit(new_gen)).write.mode("overwrite").parquet(
+        str(dm_next)
+    )
+    if dm_old.exists():
+        shutil.rmtree(dm_old)
+    (index_dir / "doc_meta").rename(dm_old)
+    dm_next.rename(index_dir / "doc_meta")
+    shutil.rmtree(dm_old)
+    _swap_term_dict(index_dir, new_dict)
 
-    # stage the new store, then swap (atomic-ish; on a real deployment
-    # this is an Iceberg snapshot commit)
-    stage = index_dir / "_compact_stage"
-    if stage.exists():
-        shutil.rmtree(stage)
-    stage.mkdir(parents=True)
-    B._encode_and_write(scored, stage, 0, None, cfg, "compact", max_id)
-    dm_live.withColumn("gen", F.lit(0)).write.parquet(str(stage / "doc_meta"))
-    new_dict.write.parquet(str(stage / "term_dict"))
+    meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[new_gen])
+    B._write_meta(index_dir, meta)  # THE commit point (atomic rename)
 
-    for name in ("segments", "manifest", "doc_meta", "term_dict"):
-        old = index_dir / name
-        if old.exists():
-            shutil.rmtree(old)
-        if (stage / name).exists():
-            (stage / name).rename(old)
-    shutil.rmtree(stage, ignore_errors=True)
+    # post-commit sweep: dirs no reader with the new meta can reach
+    for g in committed:
+        for name in ("segments", "manifest"):
+            old = index_dir / name / f"generation={g}"
+            if old.exists():
+                shutil.rmtree(old)
+    tdir = index_dir / "tombstones"
     if tdir.exists():
         shutil.rmtree(tdir)
-
-    meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[0])
-    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
     B.refresh_read_caches(spark, index_dir)
     return meta
 
@@ -523,33 +623,47 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict | None:
     """Tiered merge (RdbBase::attemptMerge picking the SMALL tier —
     the reference merges the newest N files among themselves far more
     often than it touches the big base file): collapse every DELTA
-    generation (>= 1) into ONE new generation, leaving generation 0 —
-    the bulk of the store — untouched. At 100 TB this is the merge you
-    can afford to run continuously: cost is proportional to the delta
-    tier, not the corpus.
+    generation (above the base = min(meta['generations'])) into ONE new
+    generation, leaving the base — the bulk of the store — untouched.
+    At 100 TB this is the merge you can afford to run continuously:
+    cost is proportional to the delta tier, not the corpus.
 
     Semantics:
       * existing tombstones are APPLIED to the merged postings (a
         delta posting an earlier delete/replace annihilated never
-        reaches the new generation); rows still masking generation 0
-        or the doc_meta liveness view are RETAINED (one row per doc),
-        the rest PRUNED (``_prune_tombstones``) — so replace-heavy
-        continuous ingest doesn't accumulate an unbounded tombstone
-        table across merges.
+        reaches the new generation); rows still masking the base
+        generation or the doc_meta liveness view are RETAINED (one row
+        per doc), the rest PRUNED (``_prune_tombstones``) — so
+        replace-heavy continuous ingest doesn't accumulate an unbounded
+        tombstone table across merges.
       * newest-generation-wins is resolved among the merged deltas;
         the rewritten postings get the next generation number, so they
-        still win over generation 0 at read time.
+        still win over the base at read time.
       * doc_meta is untouched: its ``gen`` column is a per-doc version
         ordinal ordered consistently with the (monotonic) new
         generation number, so liveness/max_by semantics are unchanged.
-      * global stats / term_dict are NOT recomputed — same drift model
-        as add_documents (Posdb::getTermFreq approximation); exactness
-        is ``compact``'s job. Scored reads drift; membership reads
-        (term lookup, boolean algebra, phrases) are exact.
+      * global stats are RESTORED TO EXACT (VERDICT r04 item 2, format
+        v2): term_dict df — maintained as the sum of every committed
+        generation's raw posting counts — has the merged deltas' raw
+        contribution replaced by their live one (raw from block
+        metadata alone, sum(n_docs) per term; live counted off the
+        merged postings the job re-encodes anyway), and n_docs/avgdl
+        are recomputed from the tombstone-filtered doc_meta liveness
+        view. With read-time scoring this makes scored top-k on the
+        merged store hash-identical to a fresh build over the live doc
+        set, PROVIDED no BASE-generation doc is masked by a tombstone
+        (base-doc deletes/replaces leave their raw df counted until
+        ``compact`` — Lucene's docFreq-includes-deletes semantics, and
+        still far tighter than the reference's Posdb::getTermFreq) and
+        adds use fresh doc_ids or replace=True (re-adding a base doc
+        WITHOUT replace double-counts it, as it would in any LSM).
 
-    Swap is atomic-ish exactly like ``compact``'s (stage → rename new
-    generation in → drop merged generation dirs); a crash inside the
-    window is repaired by rerunning the merge or a full compact.
+    Commit protocol (ADVICE r04): the merged generation is encoded as
+    an UNREFERENCED generation dir, then ONE atomic meta.json rename
+    flips readers from {deltas} to {new_gen}; the old delta dirs are
+    deleted only after the flip. No read window can see a delta's
+    postings twice, and a crash leaves either the old committed set
+    (plus a garbage dir the next compact removes) or the new one.
 
     Returns the new meta when a merge ran, None when there was nothing
     to merge (fewer than two delta generations — the same contract as
@@ -557,49 +671,73 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict | None:
     index_dir = Path(index_dir)
     meta = B.load_meta(index_dir, recover=True)
     cfg = _cfg_from_meta(meta)
-    gens = current_generations(index_dir)
-    deltas = [g for g in gens if g >= 1]
+    committed = [int(g) for g in meta["generations"]]
+    base_gen = min(committed)
+    deltas = [g for g in committed if g != base_gen]
     if len(deltas) < 2:
         return None
-    new_gen = max(gens) + 1
+    new_gen = _next_gen(index_dir, meta)
 
-    posts = _live_postings(spark, index_dir, generations=deltas)
+    posts = _live_postings(spark, index_dir, generations=deltas).persist()
 
-    # re-score with the CURRENT stats (what add_documents would have
-    # used) — tf/positions carry through unchanged
+    # exact df fold: raw delta contribution from block METADATA only
+    # (sum of per-block posting counts — no blob decode), live from the
+    # merged postings this job re-encodes anyway
+    raw = (
+        spark.read.parquet(str(index_dir / "segments"))
+        .filter(F.col("generation").isin(deltas))
+        .groupBy("term_id")
+        .agg(F.sum("n_docs").alias("raw_df"))
+    )
+    live = posts.groupBy("term_id").agg(F.count(F.lit(1)).alias("live_df"))
+    adj = (
+        raw.join(live, "term_id", "full")
+        .select(
+            "term_id",
+            (
+                F.coalesce(F.col("live_df"), F.lit(0))
+                - F.coalesce(F.col("raw_df"), F.lit(0))
+            ).alias("df_adj"),
+        )
+        .filter(F.col("df_adj") != 0)
+    )
+    merged_dict = (
+        spark.read.parquet(str(index_dir / "term_dict"))
+        .join(adj, "term_id", "left")
+        .withColumn("df", F.col("df") + F.coalesce(F.col("df_adj"), F.lit(0)))
+        .drop("df_adj")
+    )
+
+    # doc_len join for the v2 dls stream (tf/positions carry through
+    # unchanged; scores are read-time, so no re-scoring job exists)
     dm = (
         spark.read.parquet(str(index_dir / "doc_meta"))
         .groupBy("doc_id")
         .agg(F.max_by("doc_len", "gen").alias("doc_len"))
     )
-    tdict = spark.read.parquet(str(index_dir / "term_dict"))
-    scored = B.scored_postings_df(
-        posts, dm, tdict, meta["n_docs"], meta["avgdl"], cfg
-    )
+    try:
+        B._encode_and_write(
+            posts.join(dm, "doc_id"),
+            index_dir, new_gen, None, cfg, "delta_merge", meta["max_doc_id"],
+        )
+        _swap_term_dict(index_dir, merged_dict)
+    finally:
+        posts.unpersist()
+    B.refresh_read_caches(spark, index_dir)
 
-    stage = index_dir / "_merge_stage"
-    if stage.exists():
-        shutil.rmtree(stage)
-    stage.mkdir(parents=True)
-    B._encode_and_write(
-        scored, stage, new_gen, None, cfg, "delta_merge", meta["max_doc_id"]
+    row = _live_doc_stats(spark, index_dir)
+    meta.update(
+        n_docs=float(row["n_docs"]),
+        avgdl=float(row["avgdl"]),
+        generations=sorted((set(committed) - set(deltas)) | {new_gen}),
     )
-    for name in ("segments", "manifest"):
-        src = stage / name / f"generation={new_gen}"
-        if src.exists():
-            src.rename(index_dir / name / f"generation={new_gen}")
-    shutil.rmtree(stage, ignore_errors=True)
+    B._write_meta(index_dir, meta)  # atomic flip: {deltas} -> {new_gen}
     for g in deltas:
         for name in ("segments", "manifest"):
             old = index_dir / name / f"generation={g}"
             if old.exists():
                 shutil.rmtree(old)
-
-    meta.update(
-        generations=sorted((set(gens) - set(deltas)) | {new_gen}),
-    )
-    (index_dir / "meta.json").write_text(json.dumps(meta, indent=1, sort_keys=True))
-    _prune_tombstones(spark, index_dir)
+    _prune_tombstones(spark, index_dir, meta["generations"])
     B.refresh_read_caches(spark, index_dir)
     return meta
 
@@ -630,7 +768,7 @@ def maybe_compact(
             "keeps generation 0 plus one merged delta); use mode='full' to "
             "compact down to a single generation"
         )
-    if len(current_generations(index_dir)) <= max_generations:
+    if len(B.load_meta(index_dir)["generations"]) <= max_generations:
         return None
     if mode == "full":
         return compact(spark, index_dir)

@@ -1,14 +1,13 @@
 """Posting-segment encode/decode kernels (numpy, Arrow-batched).
 
-The persisted unit is a *block row*: up to ``block_size`` postings of
-one term, doc_id-sorted, stored as three binary columns
+Segment format v2 — STATS-FREE blocks. The persisted unit is a *block
+row*: up to ``block_size`` postings of one term, doc_id-sorted, stored
+as binary columns
 
     docs_blob   delta-gap + LEB128 varint doc_ids  (functions/codec)
     tfs_blob    LEB128 varint term frequencies
-    scores_blob float64 per-posting BM25 contributions (precomputed at
-                build — the reference's analog is static features baked
-                into the posdb key at index time: density/spam/siterank,
-                XmlDoc.cpp getDiversityVec et al., SURVEY.md §4)
+    dls_blob    LEB128 varint doc lengths (one per posting — constant
+                per doc, so ~1-2 bytes after varint)
     pos_blob    concatenated SELF-CONTAINED per-posting position
                 streams (codec.positions_encode; split points recovered
                 from tfs + continuation bits). The reference's posdb
@@ -16,10 +15,23 @@ one term, doc_id-sorted, stored as three binary columns
                 SURVEY.md §1.3); this is the columnar equivalent, and
                 what serves index-backed phrase/proximity.
 
-plus pruning metadata ``(doc_id_min, doc_id_max, n_docs,
-block_max_score)`` — our RdbMap (RdbMap.cpp per-page key offsets,
-SURVEY.md §1.1) fused with the block-max scores that drive WAND-style
+plus pruning metadata ``(doc_id_min, doc_id_max, n_docs, block_max_tf,
+block_min_dl)`` — our RdbMap (RdbMap.cpp per-page key offsets,
+SURVEY.md §1.1) fused with the per-block extrema that drive WAND-style
 skipping (Posdb.cpp getMaxPossibleScore precedent, §4).
+
+v1 persisted the float64 BM25 contribution per posting (the reference's
+static-feature precompute, SURVEY.md §4) — which is also the
+reference's WEAKNESS: baked scores go stale the moment corpus stats
+move (Posdb::getTermFreq drift between merges). v2 stores only the
+stat-free inputs (tf, dl) and computes the score AT READ TIME from the
+LIVE stats (df from term_dict, N/avgdl from meta) via ``bm25_rescore``
+— a handful of vectorized flops per posting, negligible next to the
+varint decode — so scored reads are exact under continuous ingest
+without recompaction (VERDICT r04 item 2). Block-max bounds for
+MaxScore pruning are derived the same way: score is monotone ↑ in tf
+and ↓ in dl, so ``f(block_max_tf, block_min_dl)`` with the live stats
+is a valid per-block upper bound.
 
 Everything here operates on whole numpy arrays; no per-row Python.
 """
@@ -31,7 +43,6 @@ import pandas as pd
 
 from open_source_search_engine_spark.functions.codec import (
     delta_decode,
-    f64_decode,
     positions_decode,
     varint_decode,
     varint_encode_with_sizes,
@@ -40,9 +51,34 @@ from open_source_search_engine_spark.functions.codec import (
 BLOCK_SCHEMA = (
     "bucket int, salt int, term_id long, block_id int, "
     "doc_id_min long, doc_id_max long, n_docs int, "
-    "block_max_score double, docs_blob binary, tfs_blob binary, "
-    "scores_blob binary, pos_blob binary"
+    "block_max_tf int, block_min_dl int, docs_blob binary, "
+    "tfs_blob binary, dls_blob binary, pos_blob binary"
 )
+
+SEGMENT_FORMAT = 2
+
+
+def bm25_rescore(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Per-posting BM25 contribution from the stat-free stored inputs
+    and the LIVE stats. The expression tree mirrors
+    operators.bm25.bm25_term_score_col operation-for-operation (same
+    IEEE-754 association order) so a fresh build's read-time scores are
+    bit-identical to what v1 persisted at build time."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+
+def block_bound(
+    max_tf: np.ndarray, min_dl: np.ndarray, idf: float, avgdl: float,
+    k1: float, b: float,
+) -> np.ndarray:
+    """Valid per-block score upper bound from the block extrema (score
+    monotone ↑ tf, ↓ dl) under the live stats — the v2 replacement for
+    the persisted block_max_score."""
+    return bm25_rescore(max_tf, min_dl, idf, avgdl, k1, b)
 
 
 def _encode_sorted(
@@ -51,7 +87,7 @@ def _encode_sorted(
     term_ids: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    scores: np.ndarray,
+    dls: np.ndarray,
     block_size: int,
     pos_blobs: np.ndarray | None = None,
 ) -> pd.DataFrame:
@@ -94,7 +130,8 @@ def _encode_sorted(
     d_off = np.concatenate(([0], np.cumsum(d_sizes)))
     t_bytes, t_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
     t_off = np.concatenate(([0], np.cumsum(t_sizes)))
-    s_bytes = scores.tobytes()
+    l_bytes, l_sizes = varint_encode_with_sizes(dls.astype(np.uint64))
+    l_off = np.concatenate(([0], np.cumsum(l_sizes)))
 
     if pos_blobs is not None:
         # per-posting streams are self-contained → a block's pos_blob
@@ -110,7 +147,6 @@ def _encode_sorted(
     else:
         pos_col = [b""] * b_starts.size
 
-    block_max = np.maximum.reduceat(scores, b_starts)
     out = {
         "bucket": buckets[b_starts].astype(np.int32),
         "salt": salts[b_starts].astype(np.int32),
@@ -119,15 +155,16 @@ def _encode_sorted(
         "doc_id_min": doc_ids[b_starts],
         "doc_id_max": doc_ids[b_ends - 1],
         "n_docs": (b_ends - b_starts).astype(np.int32),
-        "block_max_score": block_max,
+        "block_max_tf": np.maximum.reduceat(tfs, b_starts).astype(np.int32),
+        "block_min_dl": np.minimum.reduceat(dls, b_starts).astype(np.int32),
         "docs_blob": [
             d_bytes[d_off[s]:d_off[e]] for s, e in zip(b_starts, b_ends)
         ],
         "tfs_blob": [
             t_bytes[t_off[s]:t_off[e]] for s, e in zip(b_starts, b_ends)
         ],
-        "scores_blob": [
-            s_bytes[8 * s:8 * e] for s, e in zip(b_starts, b_ends)
+        "dls_blob": [
+            l_bytes[l_off[s]:l_off[e]] for s, e in zip(b_starts, b_ends)
         ],
         "pos_blob": pos_col,
     }
@@ -135,8 +172,8 @@ def _encode_sorted(
 
 
 def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode one (bucket, salt) group of scored postings into block
-    rows. Input columns: bucket, salt, term_id, doc_id, tf, score.
+    """Encode one (bucket, salt) group of postings into block rows.
+    Input columns: bucket, salt, term_id, doc_id, tf, doc_len.
     Rows within a term are doc_id-sorted here (the RdbDump sorted-run
     invariant, RdbDump.cpp dumpTree)."""
     if len(pdf) == 0:
@@ -148,7 +185,7 @@ def encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         pdf["term_id"].to_numpy(np.int64),
         pdf["doc_id"].to_numpy(np.int64),
         pdf["tf"].to_numpy(np.int64),
-        pdf["score"].to_numpy(np.float64),
+        pdf["doc_len"].to_numpy(np.int64),
         block_size,
         pos_blobs=(
             pdf["pos_blob"].to_numpy(object) if "pos_blob" in pdf.columns else None
@@ -220,9 +257,9 @@ def _gather_varlen(
 def make_encode_kernel(
     block_size: int, n_buckets: int, max_doc_id: int, n_salts: int
 ):
-    """mapInArrow kernel: encode one shuffle PARTITION of scored
-    postings (columns term_id, doc_id, tf, score[, pos_blob]) into
-    block rows.
+    """mapInArrow kernel: encode one shuffle PARTITION of postings
+    (columns term_id, doc_id, tf, doc_len[, pos_blob]) into block
+    rows.
 
     bucket and salt are recomputed here from term_id / doc_id instead
     of being shuffled as columns — the shuffle moves 8 fewer bytes per
@@ -249,7 +286,7 @@ def make_encode_kernel(
         term_ids = tbl.column("term_id").to_numpy().astype(np.int64, copy=False)
         doc_ids = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
         tfs = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
-        scores = tbl.column("score").to_numpy().astype(np.float64, copy=False)
+        dls = tbl.column("doc_len").to_numpy().astype(np.int64, copy=False)
         buckets = term_ids % n_buckets
         salts = np.minimum(doc_ids // width, n_salts - 1)
         # term-major order (bucket, term, salt, doc): every (term,
@@ -291,7 +328,7 @@ def make_encode_kernel(
                 p_data, p_off = _binary_column_np(tbl.column("pos_blob"))
                 pos = (p_data, p_off)
             yield _encode_sorted_arrow(
-                buckets, salts, term_ids, doc_ids, tfs, scores,
+                buckets, salts, term_ids, doc_ids, tfs, dls,
                 block_size, pos_sorted=pos,
             )
             return
@@ -306,7 +343,7 @@ def make_encode_kernel(
             term_ids[order],
             doc_ids[order],
             tfs[order],
-            scores[order],
+            dls[order],
             block_size,
             pos_sorted=pos,
         )
@@ -315,7 +352,7 @@ def make_encode_kernel(
 
 
 def _encode_sorted_arrow(
-    buckets, salts, term_ids, doc_ids, tfs, scores, block_size, pos_sorted=None
+    buckets, salts, term_ids, doc_ids, tfs, dls, block_size, pos_sorted=None
 ):
     """Arrow-native sibling of _encode_sorted: same math, but blob
     columns are emitted as zero-copy binary arrays (stream + block
@@ -347,10 +384,10 @@ def _encode_sorted_arrow(
     d_off = np.concatenate(([0], np.cumsum(d_sizes)))
     t_bytes, t_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
     t_off = np.concatenate(([0], np.cumsum(t_sizes)))
-    s_bytes = scores.tobytes()
+    l_bytes, l_sizes = varint_encode_with_sizes(dls.astype(np.uint64))
+    l_off = np.concatenate(([0], np.cumsum(l_sizes)))
 
     block_bounds = np.concatenate((b_starts, [n]))
-    block_max = np.maximum.reduceat(scores, b_starts)
     cols = {
         "bucket": pa.array(buckets[b_starts].astype(np.int32)),
         "salt": pa.array(salts[b_starts].astype(np.int32)),
@@ -359,10 +396,15 @@ def _encode_sorted_arrow(
         "doc_id_min": pa.array(doc_ids[b_starts]),
         "doc_id_max": pa.array(doc_ids[b_ends - 1]),
         "n_docs": pa.array((b_ends - b_starts).astype(np.int32)),
-        "block_max_score": pa.array(block_max),
+        "block_max_tf": pa.array(
+            np.maximum.reduceat(tfs, b_starts).astype(np.int32)
+        ),
+        "block_min_dl": pa.array(
+            np.minimum.reduceat(dls, b_starts).astype(np.int32)
+        ),
         "docs_blob": _binary_array(d_bytes, d_off[block_bounds]),
         "tfs_blob": _binary_array(t_bytes, t_off[block_bounds]),
-        "scores_blob": _binary_array(s_bytes, 8 * block_bounds),
+        "dls_blob": _binary_array(l_bytes, l_off[block_bounds]),
     }
     if pos_sorted is not None:
         p_data, p_off = pos_sorted
@@ -387,10 +429,11 @@ def _empty_blocks_arrow():
             ("doc_id_min", pa.int64()),
             ("doc_id_max", pa.int64()),
             ("n_docs", pa.int32()),
-            ("block_max_score", pa.float64()),
+            ("block_max_tf", pa.int32()),
+            ("block_min_dl", pa.int32()),
             ("docs_blob", pa.binary()),
             ("tfs_blob", pa.binary()),
-            ("scores_blob", pa.binary()),
+            ("dls_blob", pa.binary()),
             ("pos_blob", pa.binary()),
         ]
     )
@@ -412,10 +455,11 @@ def _empty_blocks() -> pd.DataFrame:
             "doc_id_min": pd.Series(dtype="int64"),
             "doc_id_max": pd.Series(dtype="int64"),
             "n_docs": pd.Series(dtype="int32"),
-            "block_max_score": pd.Series(dtype="float64"),
+            "block_max_tf": pd.Series(dtype="int32"),
+            "block_min_dl": pd.Series(dtype="int32"),
             "docs_blob": pd.Series(dtype=object),
             "tfs_blob": pd.Series(dtype=object),
-            "scores_blob": pd.Series(dtype=object),
+            "dls_blob": pd.Series(dtype=object),
             "pos_blob": pd.Series(dtype=object),
         }
     )
@@ -446,6 +490,7 @@ def decode_blocks(
     keep_mask: np.ndarray | None = None,
     tombstones: tuple[np.ndarray, np.ndarray] | None = None,
     with_positions: bool = False,
+    rescore: tuple[float, float, float, float] | None = None,
 ):
     """Decode selected block rows of ONE term (any generations) into
     (doc_ids, tfs, scores[, positions]) — doc_id-sorted, later
@@ -459,6 +504,12 @@ def decode_blocks(
     instead of iterating per-posting Python objects (VERDICT r02
     items 1-2; requires a store built with positions).
 
+    ``rescore`` = (idf, avgdl, k1, b) for this term under the LIVE
+    stats: scores are computed from the stored (tf, dl) AFTER the
+    generation merge + tombstone filter (fewest postings). Callers
+    that never read scores (phrase membership) pass None and get
+    zeros — the dls_blob decode is skipped entirely.
+
     ``tombstones`` = (dead_doc_ids sorted asc, before_generation): a
     posting from generation g of doc d is annihilated iff d is listed
     and g < before_generation[d] — the LSM negative-key semantics of
@@ -470,7 +521,7 @@ def decode_blocks(
         z = np.empty(0, dtype=np.int64)
         out3 = (z, z.copy(), np.empty(0, dtype=np.float64))
         return (*out3, np.empty(0, dtype=np.int64)) if with_positions else out3
-    docs_parts, tf_parts, sc_parts, gen_parts, pos_parts = [], [], [], [], []
+    docs_parts, tf_parts, dl_parts, gen_parts, pos_parts = [], [], [], [], []
     gens = (
         block_rows["generation"].to_numpy(np.int64)
         if "generation" in block_rows.columns
@@ -479,10 +530,13 @@ def decode_blocks(
     pos_blobs = (
         block_rows["pos_blob"] if with_positions else [None] * len(block_rows)
     )
-    for blob_d, blob_t, blob_s, blob_p, g in zip(
+    dl_blobs = (
+        block_rows["dls_blob"] if rescore is not None else [None] * len(block_rows)
+    )
+    for blob_d, blob_t, blob_l, blob_p, g in zip(
         block_rows["docs_blob"],
         block_rows["tfs_blob"],
-        block_rows["scores_blob"],
+        dl_blobs,
         pos_blobs,
         gens,
     ):
@@ -490,7 +544,8 @@ def decode_blocks(
         t = varint_decode(bytes(blob_t)).astype(np.int64)
         docs_parts.append(d)
         tf_parts.append(t)
-        sc_parts.append(f64_decode(bytes(blob_s)))
+        if rescore is not None:
+            dl_parts.append(varint_decode(bytes(blob_l)).astype(np.int64))
         gen_parts.append(np.full(d.size, g, dtype=np.int64))
         if with_positions:
             if blob_p is None:
@@ -501,18 +556,22 @@ def decode_blocks(
             pos_parts.append(positions_decode(bytes(blob_p), t))
     docs = np.concatenate(docs_parts)
     tfs = np.concatenate(tf_parts)
-    scores = np.concatenate(sc_parts)
+    dls = np.concatenate(dl_parts) if rescore is not None else None
     gen = np.concatenate(gen_parts)
     pos_flat = np.concatenate(pos_parts).astype(np.int64) if with_positions else None
     # k-way merge of generation runs (RdbList::merge_r analog): stable
     # sort by (doc_id, generation) then keep the LAST (newest) per doc.
     order = np.lexsort((gen, docs))
-    docs, tfs, scores, gen = docs[order], tfs[order], scores[order], gen[order]
+    docs, tfs, gen = docs[order], tfs[order], gen[order]
+    if dls is not None:
+        dls = dls[order]
     sel = order  # surviving postings, as indices into concat order
     if docs.size > 1:
         last = np.ones(docs.size, dtype=bool)
         last[:-1] = docs[1:] != docs[:-1]
-        docs, tfs, scores, gen = docs[last], tfs[last], scores[last], gen[last]
+        docs, tfs, gen = docs[last], tfs[last], gen[last]
+        if dls is not None:
+            dls = dls[last]
         sel = sel[last]
     if tombstones is not None and tombstones[0].size and docs.size:
         dead_ids, before = tombstones
@@ -521,8 +580,15 @@ def decode_blocks(
         hit = dead_ids[pos_c] == docs
         dead = hit & (gen < before[pos_c])
         keep = ~dead
-        docs, tfs, scores = docs[keep], tfs[keep], scores[keep]
+        docs, tfs = docs[keep], tfs[keep]
+        if dls is not None:
+            dls = dls[keep]
         sel = sel[keep]
+    if rescore is not None:
+        idf, avgdl, k1, b = rescore
+        scores = bm25_rescore(tfs, dls, idf, avgdl, k1, b)
+    else:
+        scores = np.zeros(docs.size, dtype=np.float64)
     if not with_positions:
         return docs, tfs, scores
     return docs, tfs, scores, gather_flat(pos_flat, np.concatenate(tf_parts), sel)

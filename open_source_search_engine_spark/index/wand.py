@@ -27,8 +27,10 @@ Pruning inside the kernel is the MaxScore/block-max family
     generation unions essential lists only, and non-essential terms
     decode just the blocks overlapping surviving candidates.
 
-Scoring sums precomputed per-posting float64 contributions in
-ascending term_id order (FIXTURES.md §3 determinism pin).
+Scoring sums per-posting float64 contributions in ascending term_id
+order (FIXTURES.md §3 determinism pin). v2 blocks are stat-free: the
+contributions are computed IN the kernel from (tf, dl) + the live
+(df, N, avgdl) — exact between compactions (segments.bm25_rescore).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.index.builder import load_meta
-from open_source_search_engine_spark.index.segments import decode_blocks
+from open_source_search_engine_spark.index.segments import block_bound, decode_blocks
 
 KERNEL_SCHEMA = "doc_id long, score double, n_terms int"
 
@@ -50,9 +52,35 @@ KERNEL_SCHEMA = "doc_id long, score double, n_terms int"
 # phrase/proximity path, index/lists.py, never for top-k scoring)
 KERNEL_INPUT_COLS = (
     "salt", "term_id", "generation", "n_docs", "doc_id_min",
-    "doc_id_max", "block_max_score", "docs_blob", "tfs_blob",
-    "scores_blob",
+    "doc_id_max", "block_max_tf", "block_min_dl", "docs_blob",
+    "tfs_blob", "dls_blob",
 )
+
+
+def idf_map(trows: list[dict], n_docs: float) -> dict[int, float]:
+    """term_id → BM25 idf under the LIVE stats — driver-side scalar
+    math over the query's term rows (metadata-scale). Same expression
+    tree as operators.bm25.idf_col."""
+    import math
+
+    return {
+        int(r["term_id"]): math.log(
+            (n_docs - float(r["df"]) + 0.5) / (float(r["df"]) + 0.5) + 1.0
+        )
+        for r in trows
+    }
+
+
+def scoring_ctx(meta: dict, trows: list[dict]):
+    """(idf_by_tid, avgdl, k1, b) — everything a decode kernel needs to
+    compute exact BM25 contributions from the stat-free v2 blocks."""
+    cfg = meta["config"]
+    return (
+        idf_map(trows, float(meta["n_docs"])),
+        float(meta["avgdl"]),
+        float(cfg["k1"]),
+        float(cfg["b"]),
+    )
 
 
 def query_term_rows(
@@ -184,11 +212,21 @@ def make_salt_kernel(
     k: int,
     mode: str,
     tombstones: tuple[np.ndarray, np.ndarray] | None,
+    scoring,
 ):
     """Kernel run once per salt (disjoint doc_id range). Input: block
-    rows of the query's terms only. Output: local top-k candidates."""
+    rows of the query's terms only. Output: local top-k candidates.
+
+    ``scoring`` = (idf_by_tid, avgdl, k1, b) from scoring_ctx: v2
+    blocks are stat-free, so per-posting scores AND the MaxScore block
+    bounds are computed here under the live stats (exact even between
+    compactions — VERDICT r04 item 2)."""
     tids = sorted(set(term_ids))
     n_q = len(tids)
+    idf_by, avgdl, k1, b = scoring
+
+    def _rs(t):
+        return (idf_by[int(t)], avgdl, k1, b)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term = {t: g for t, g in pdf.groupby("term_id")}
@@ -205,6 +243,8 @@ def make_salt_kernel(
             # decoding only overlapping blocks of later terms.
             order = sorted(per_term, key=lambda t: int(per_term[t]["n_docs"].sum()))
             cand, _tf, _sc = decode_blocks(per_term[order[0]], tombstones=tombstones)
+            # (intersection decodes skip the dls/rescore work — only the
+            # final scoring pass below computes contributions)
             for t in order[1:]:
                 if cand.size == 0:
                     break
@@ -224,16 +264,32 @@ def make_salt_kernel(
             lists = []
             for t, rows in per_term.items():
                 mask = _blocks_overlapping(rows, cand)
-                docs, _tfs, scores = decode_blocks(rows, mask, tombstones=tombstones)
+                docs, _tfs, scores = decode_blocks(
+                    rows, mask, tombstones=tombstones, rescore=_rs(t)
+                )
                 lists.append((int(t), docs, scores))
             total, hits = _score_candidates(cand, lists)
             keep = hits == n_q
             cand, total, hits = cand[keep], total[keep], hits[keep]
         else:
-            # MaxScore (block-max family). U_t from block metadata only.
-            U = {t: float(g["block_max_score"].max()) for t, g in per_term.items()}
+            # MaxScore (block-max family). U_t from block metadata only
+            # — v2: bounds computed from (block_max_tf, block_min_dl)
+            # under the live stats (segments.block_bound; score monotone
+            # in each, so this is a valid upper bound).
+            U = {
+                t: float(
+                    block_bound(
+                        g["block_max_tf"].to_numpy(np.float64),
+                        g["block_min_dl"].to_numpy(np.float64),
+                        idf_by[int(t)], avgdl, k1, b,
+                    ).max()
+                )
+                for t, g in per_term.items()
+            }
             drive = max(U, key=U.get)
-            d_docs, _dt, d_scores = decode_blocks(per_term[drive], tombstones=tombstones)
+            d_docs, _dt, d_scores = decode_blocks(
+                per_term[drive], tombstones=tombstones, rescore=_rs(drive)
+            )
             if d_scores.size >= k:
                 theta0 = float(np.partition(d_scores, -k)[-k])
             else:
@@ -253,7 +309,9 @@ def make_salt_kernel(
             for t, rows in per_term.items():
                 if t == drive or t in non_essential:
                     continue
-                docs, _tfs, scores = decode_blocks(rows, tombstones=tombstones)
+                docs, _tfs, scores = decode_blocks(
+                    rows, tombstones=tombstones, rescore=_rs(t)
+                )
                 decoded[int(t)] = (docs, scores)
                 cand_parts.append(docs)
             cand = np.unique(np.concatenate(cand_parts)) if cand_parts else np.empty(0, np.int64)
@@ -261,7 +319,9 @@ def make_salt_kernel(
             for t in non_essential:
                 rows = per_term[t]
                 mask = _blocks_overlapping(rows, cand)
-                docs, _tfs, scores = decode_blocks(rows, mask, tombstones=tombstones)
+                docs, _tfs, scores = decode_blocks(
+                    rows, mask, tombstones=tombstones, rescore=_rs(t)
+                )
                 lists.append((int(t), docs, scores))
             total, hits = _score_candidates(cand, lists)
 
@@ -304,14 +364,23 @@ def wand_topk(
     buckets = sorted({t % n_buckets for t in tids})
 
     seg = spark.read.parquet(str(Path(index_dir) / "segments"))
-    seg = seg.filter(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+    # generation filter = snapshot isolation on the partition column:
+    # readers only see generations meta.json (the atomic commit
+    # pointer) references, so a concurrent merge/compact's staged or
+    # half-deleted generation dirs are invisible (ADVICE r04)
+    seg = seg.filter(
+        F.col("generation").isin([int(g) for g in meta["generations"]])
+        & F.col("bucket").isin(buckets)
+        & F.col("term_id").isin(tids)
+    )
     # explicit projection: top-k scoring never touches pos_blob — the
     # parquet scan prunes the (largest) column entirely
     seg = seg.select(*KERNEL_INPUT_COLS)
 
+    scoring = scoring_ctx(meta, trows)
     tombstones_arrays, ts_df = tombstones_plan(spark, index_dir)
     if ts_df is None:
-        kernel = make_salt_kernel(tids, k, mode, tombstones_arrays)
+        kernel = make_salt_kernel(tids, k, mode, tombstones_arrays, scoring)
         local = seg.groupBy("salt").applyInPandas(kernel, KERNEL_SCHEMA)
     else:
         # mass-delete path: ship tombstones to the kernels through a
@@ -328,7 +397,7 @@ def wand_topk(
         ts = ts_df.crossJoin(
             spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
         )
-        base_kernel = make_salt_kernel(tids, k, mode, None)
+        base_kernel = make_salt_kernel(tids, k, mode, None, scoring)
 
         def cokernel(seg_pdf: pd.DataFrame, ts_pdf: pd.DataFrame) -> pd.DataFrame:
             if len(seg_pdf) == 0:
@@ -338,7 +407,7 @@ def wand_topk(
             arrays = _arrays_from_pdf(ts_pdf[["doc_id", "before_generation"]])
             if arrays is None:
                 return base_kernel(seg_pdf)
-            return make_salt_kernel(tids, k, mode, arrays)(seg_pdf)
+            return make_salt_kernel(tids, k, mode, arrays, scoring)(seg_pdf)
 
         local = (
             seg.groupBy("salt")

@@ -81,14 +81,16 @@ def proximity_topk_indexed(
 ) -> DataFrame:
     """Same semantics entirely from the segment store: per-salt kernel
     decodes the query terms' lists WITH positions, computes each
-    matching doc's BM25 sum (persisted per-posting scores) and the
+    matching doc's BM25 sum (read-time rescore from the v2 stat-free
+    blocks) and the
     min pair distance, and emits local candidates; driver merge takes
     the global top-k."""
     from open_source_search_engine_spark.index import lists as L
 
     ts = sorted(set(terms))
     ix = L.as_handle(spark, index_dir)
-    tmap = L.term_id_map(spark, ix, ts)
+    trows = ix.term_rows(ts)
+    tmap = {r["term"]: int(r["term_id"]) for r in trows}
     # proximity needs ≥2 distinct present terms (mindist is a PAIR
     # distance; the corpus path and oracle drop all rows otherwise)
     if len(tmap) < len(ts) or len(ts) < 2:
@@ -96,6 +98,13 @@ def proximity_topk_indexed(
     tids = sorted(tmap.values())
     seg = ix.pruned_segments(tids, with_positions=True)
     n_q = len(tids)
+    from open_source_search_engine_spark.index import wand as W
+
+    idf_by, avgdl, bm_k1, bm_b = W.scoring_ctx(ix.meta, trows)
+    # per-term rescore tuples resolved OUTSIDE the kernel: the pair
+    # loop below reuses the name k1 for a stream, which would shadow
+    # the BM25 parameter inside the closure
+    rs_by = {t: (idf_by[t], avgdl, bm_k1, bm_b) for t in tids}
 
     from open_source_search_engine_spark.index.segments import decode_blocks
 
@@ -103,7 +112,8 @@ def proximity_topk_indexed(
         per_term = {}
         for tid, rows in pdf.groupby("term_id"):
             per_term[int(tid)] = decode_blocks(
-                rows, tombstones=tombstones, with_positions=True
+                rows, tombstones=tombstones, with_positions=True,
+                rescore=rs_by[int(tid)],
             )
         empty = pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
@@ -174,12 +184,14 @@ def proximity_topk_indexed(
         order = np.lexsort((cand, -boosted))[:k]
         return pd.DataFrame({"doc_id": cand[order], "score": boosted[order]})
 
-    from functools import partial
+    def kernel_factory(arrays):
+        def bound_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(pdf, tombstones=arrays)
+
+        return bound_kernel
 
     local = L.apply_tombstone_aware(
-        spark, ix, seg, ("salt",),
-        lambda arrays: partial(kernel, tombstones=arrays),
-        "doc_id long, score double",
+        spark, ix, seg, ("salt",), kernel_factory, "doc_id long, score double",
     )
     return (
         local.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -111,6 +111,12 @@ def parse(q: str) -> ParsedQuery:
     return out
 
 
+# a real synonym dictionary is ~1e5 entries (the reference ships a ~MB
+# Wiktionary file); 1e6 is far past any dictionary and well before
+# driver memory pain — fail loudly there (VERDICT r04 minor #2)
+SYNONYM_DICT_MAX_ENTRIES = 1_000_000
+
+
 def expand_synonyms(q: str, synonyms) -> str:
     """Dictionary-driven synonym expansion (Synonyms.cpp getSynonyms /
     Wiktionary.cpp, SURVEY.md §2.8 X5): rewrite each scored query term
@@ -134,6 +140,18 @@ def expand_synonyms(q: str, synonyms) -> str:
         synonyms_df = synonyms.groupBy("term").agg(
             F.array_sort(F.collect_set("synonym")).alias("syns")
         )
+        # explicit contract (VERDICT r04): the collect is bounded to
+        # dictionary scale. A table past the cap is not a synonym
+        # dictionary — rewrite the expansion as a broadcast join
+        # against the parsed query's term list instead of collecting.
+        n = synonyms_df.limit(SYNONYM_DICT_MAX_ENTRIES + 1).count()
+        if n > SYNONYM_DICT_MAX_ENTRIES:
+            raise ValueError(
+                f"synonym dictionary exceeds {SYNONYM_DICT_MAX_ENTRIES} "
+                "entries — too large to collect driver-side; join it "
+                "against the query terms (broadcast the terms, not the "
+                "dictionary) and pass the resulting small dict instead"
+            )
         synonyms = {r["term"]: list(r["syns"]) for r in synonyms_df.collect()}
 
     out: list[str] = []

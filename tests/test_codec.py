@@ -103,7 +103,7 @@ def test_encode_kernel_matches_encode_group():
                 "term_id": term_ids,
                 "doc_id": doc_ids,
                 "tf": rng.integers(1, 9, n).astype(np.int64),
-                "score": rng.random(n),
+                "doc_len": rng.integers(1, 300, n).astype(np.int64),
             }
         )
         .drop_duplicates(["term_id", "doc_id"])
@@ -149,8 +149,13 @@ def test_encode_kernel_matches_encode_group():
         assert np.array_equal(
             a[col].to_numpy(np.int64), b[col].to_numpy(np.int64)
         ), col
-    assert np.allclose(a["block_max_score"], b["block_max_score"])
-    for col in ["docs_blob", "tfs_blob", "scores_blob"]:
+    assert np.array_equal(
+        a["block_max_tf"].to_numpy(np.int64), b["block_max_tf"].to_numpy(np.int64)
+    )
+    assert np.array_equal(
+        a["block_min_dl"].to_numpy(np.int64), b["block_min_dl"].to_numpy(np.int64)
+    )
+    for col in ["docs_blob", "tfs_blob", "dls_blob"]:
         assert all(
             bytes(x) == bytes(y) for x, y in zip(a[col], b[col])
         ), col

@@ -119,17 +119,32 @@ def test_salting_spreads_head_term(spark, index_dir):
 
 
 def test_block_metadata_consistent(spark, index_dir):
-    """block_max_score == max(decoded scores); doc ranges match blob
-    contents; n_docs ≤ block_size."""
+    """block_max_tf/block_min_dl == extrema of decoded (tf, dl) — they
+    must be, or the read-time MaxScore bounds (segments.block_bound)
+    would under-prune or, worse, prune true candidates; doc ranges
+    match blob contents; n_docs ≤ block_size; the rescore path yields
+    scores that respect the block bound."""
+    from open_source_search_engine_spark.functions.codec import varint_decode
+
     pdf = spark.read.parquet(str(index_dir / "segments")).limit(500).toPandas()
     assert (pdf["n_docs"] <= TEST_CFG.block_size).all()
+    rescore = (1.7, 120.0, 1.2, 0.75)  # arbitrary live stats
     for _, r in pdf.head(100).iterrows():
-        docs, tfs, scores = segments.decode_blocks(pd.DataFrame([r]))
+        docs, tfs, scores = segments.decode_blocks(
+            pd.DataFrame([r]), rescore=rescore
+        )
+        dls = varint_decode(bytes(r["dls_blob"]))
         assert docs[0] == r["doc_id_min"] and docs[-1] == r["doc_id_max"]
         assert docs.size == r["n_docs"] == tfs.size == scores.size
         assert np.all(np.diff(docs) > 0)
-        assert scores.max() == pytest.approx(r["block_max_score"])
-        assert (tfs >= 1).all()
+        assert tfs.max() == r["block_max_tf"] and (tfs >= 1).all()
+        assert dls.min() == r["block_min_dl"]
+        bound = segments.block_bound(
+            np.array([float(r["block_max_tf"])]),
+            np.array([float(r["block_min_dl"])]),
+            *rescore,
+        )[0]
+        assert scores.max() <= bound + 1e-12
 
 
 def test_resume_skips_done_buckets(spark, tiny_corpus, tmp_path):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from open_source_search_engine_spark.plans.query_language import parse
 
 
@@ -98,3 +100,17 @@ def test_expand_synonyms_dataframe_form(spark):
     assert expand_synonyms("join scan hash", df) == expand_synonyms(
         "join scan hash", {"join": ["merge"], "scan": ["key", "probe"]}
     )
+
+
+def test_synonym_dictionary_collect_cap(spark, monkeypatch):
+    from open_source_search_engine_spark.plans import query_language as ql
+
+    df = spark.createDataFrame(
+        [("join", "merge"), ("hash", "digest"), ("scan", "sweep")],
+        "term string, synonym string",
+    )
+    monkeypatch.setattr(ql, "SYNONYM_DICT_MAX_ENTRIES", 2)
+    with pytest.raises(ValueError, match="synonym dictionary exceeds"):
+        ql.expand_synonyms("join hash", df)
+    monkeypatch.undo()
+    assert ql.expand_synonyms("join hash", df) == "join|merge hash|digest"
