@@ -839,6 +839,8 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         ("brute", "ann_cosine_topk"),
         ("lsh", "ann_lsh_topk"),
         ("ivf", "ann_ivf_topk"),
+        # incremental ingest: build on half, ivf_add the rest, probe
+        ("ivf_add", "ann_ivf_add_topk"),
         # batched probe join over the same prebuilt store: carries an
         # extra query_id column, union-aligned by name (NULL elsewhere)
         ("ivf_batch", "ann_ivf_knn_join"),

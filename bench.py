@@ -59,7 +59,16 @@ def main() -> None:
     n_docs = docs.count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     tmp = Path(tempfile.mkdtemp(prefix="bench_idx_"))
+
+    def record(name: str, reps: list[float]) -> None:
+        """min = episode-resistant headline (protocol since r04);
+        median recorded ALONGSIDE so rounds can also be compared on
+        the classical aggregate (ADVICE r04: min-of-3 alone overstates
+        improvement when protocols change between rounds)."""
+        timings[name] = round(min(reps), 3)
+        medians[name] = round(statistics.median(reps), 3)
     cfg = EngineConfig(n_buckets=64, n_salts=8, block_size=128)
 
     # --- index build (M3): untimed warm-up (spins up every Python
@@ -83,13 +92,13 @@ def main() -> None:
             spark, docs, idx, cfg=cfg, text_col="text", extra_meta_cols=META_COLS
         )
         builds.append(time.perf_counter() - t0)
-    timings["index_build"] = round(min(builds), 3)
+    record("index_build", builds)
 
     # --- WAND query latency (M4): warm-up then p50 over pinned set,
     # each query the median of 3 runs ---
     idx = tmp / "idx0"
     wand.wand_topk(spark, idx, ["join"], k=10).collect()
-    lats = []
+    lats, lats_med = [], []
     for terms, mode in PINNED_QUERIES:
         reps = []
         for _ in range(3):
@@ -97,8 +106,11 @@ def main() -> None:
             wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()
             reps.append(time.perf_counter() - t0)
         lats.append(min(reps))
+        lats_med.append(statistics.median(reps))
     timings["wand_topk_p50"] = round(statistics.median(lats), 3)
     timings["wand_topk_total"] = round(sum(lats), 3)
+    medians["wand_topk_p50"] = round(statistics.median(lats_med), 3)
+    medians["wand_topk_total"] = round(sum(lats_med), 3)
 
     # --- warm query-loop path (QueryEngine: persisted term_dict +
     # cached listings — the RdbCache analog the reference serves
@@ -107,7 +119,7 @@ def main() -> None:
 
     eng = QueryEngine(spark, idx)
     eng.topk(["join"], k=10).collect()
-    wlats = []
+    wlats, wlats_med = [], []
     for terms, mode in PINNED_QUERIES:
         reps = []
         for _ in range(3):
@@ -115,7 +127,21 @@ def main() -> None:
             eng.topk(terms, k=10, mode=mode).collect()
             reps.append(time.perf_counter() - t0)
         wlats.append(min(reps))
+        wlats_med.append(statistics.median(reps))
     timings["engine_warm_topk_p50"] = round(statistics.median(wlats), 3)
+    medians["engine_warm_topk_p50"] = round(statistics.median(wlats_med), 3)
+
+    # --- warm query THROUGHPUT: serial loop over the pinned set on the
+    # warm engine, wall-clock QPS — the local-mode stand-in for
+    # concurrent-user load (VERDICT r04 item 6); one number the
+    # query-side scale story doesn't have to rest on a single p50 for ---
+    qps_calls = 0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        for terms, mode in PINNED_QUERIES:
+            eng.topk(terms, k=10, mode=mode).collect()
+            qps_calls += 1
+    qps = round(qps_calls / (time.perf_counter() - t0), 2)
 
     # --- index-backed operator paths (everything from the segment
     # store: facets, query language, nested boolean — VERDICT r01 #1) ---
@@ -142,7 +168,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             reps.append(time.perf_counter() - t0)
-        timings[name] = round(min(reps), 3)
+        record(name, reps)
     eng.close()
 
     # --- DataFrame-algebra operator paths (driver-checked queries;
@@ -165,7 +191,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             reps.append(time.perf_counter() - t0)
-        timings[name] = round(min(reps), 3)
+        record(name, reps)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -173,6 +199,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "median_total_sec": round(sum(medians.values()), 3),
+        "qps_warm_topk": qps,
         "sf": sf,
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),

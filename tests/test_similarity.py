@@ -159,3 +159,52 @@ def test_ivf_knn_join_matches_per_query_probe(spark, embs, tmp_path):
     assert sorted(map(tuple, shuffled.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_ivf_add_incremental_ingest(embs, spark, tmp_path):
+    """ivf_add (VERDICT r04 item 3): build on the even half, append the
+    odd half under the FROZEN centroids. Invariants: (a) no vector is
+    lost and every added vector sits in its argmax cell under the
+    stored centroids (so any probe visiting that cell finds it
+    exactly); (b) probes return exact cosines; (c) recall holds the
+    same floor as the full build."""
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "ivf_add")
+    even = embs.filter(F.col("vec_id") % 2 == 0)
+    odd = embs.filter(F.col("vec_id") % 2 == 1)
+    S.ivf_build(spark, even, store)
+    S.ivf_add(spark, store, odd)
+
+    cells = spark.read.parquet(f"{store}/cells")
+    assert cells.count() == embs.count()
+    assert cells.select("vec_id").distinct().count() == embs.count()
+    # added vectors are in their argmax cell under the stored centroids
+    cents = spark.read.parquet(f"{store}/centroids")
+    want = S._assign_cells(
+        odd.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        cents,
+        "vec_id",
+    ).select("vec_id", F.col("cell").alias("want_cell"))
+    mismatched = (
+        cells.join(want, "vec_id").filter(F.col("cell") != F.col("want_cell")).count()
+    )
+    assert mismatched == 0
+
+    exact_all = {
+        r["vec_id"]: r["cos_sim"] for r in S.cosine_topk(embs, 0, k=10_000).collect()
+    }
+    rows = S.ivf_ann_topk_prebuilt(spark, store, embs, 0, 10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(exact_all[r["vec_id"]] - r["cos_sim"]) < 1e-9
+
+    recalls = []
+    for qid in (0, 1, 2, 3, 4):
+        exact = {r["vec_id"] for r in S.cosine_topk(embs, qid, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in S.ivf_ann_topk_prebuilt(spark, store, embs, qid, 10).collect()
+        }
+        recalls.append(len(exact & approx) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
