@@ -90,21 +90,152 @@ def load_meta(index_dir: str | Path, recover: bool = False) -> dict:
     return meta
 
 
+def _read_epoch(d: Path) -> int:
+    """Epoch stamp of a side-table dir (0 when unstamped — a fresh
+    build or a pre-epoch store). The `_epoch` marker file starts with
+    an underscore, so Spark / pyarrow dataset discovery both skip it
+    (the `_SUCCESS` convention)."""
+    f = d / "_epoch"
+    try:
+        return int(f.read_text())
+    except (OSError, ValueError):
+        return 0
+
+
+def _stage_side_table(index_dir: Path, name: str, df, epoch: int) -> None:
+    """Write a side table's replacement UNREFERENCED (`<name>_next`),
+    stamped with the epoch of the meta.json commit that will reference
+    it. Nothing a reader touches changes until the meta flip; a crash
+    before the flip leaves a stamped-ahead dir that recovery discards
+    (rollback), so incremental df folds can never be applied twice."""
+    nxt = index_dir / f"{name}_next"
+    df.write.mode("overwrite").parquet(str(nxt))
+    (nxt / "_epoch").write_text(str(int(epoch)))
+
+
+def _promote_side_table(index_dir: Path, name: str) -> None:
+    """Post-flip promotion of a staged side table: rename-aside so no
+    instant exists with NO live dir that recovery can't repair."""
+    live = index_dir / name
+    nxt = index_dir / f"{name}_next"
+    old = index_dir / f"{name}_old"
+    if old.exists():
+        shutil.rmtree(old)
+    if live.exists():
+        live.rename(old)
+    nxt.rename(live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _recover_swaps(index_dir: Path) -> None:
-    """Crash recovery for the rename-aside swaps (term_dict in
-    add/merge/compact; doc_meta in compact): if a crash landed between
-    the two renames, the live dir is missing but its *_next (complete —
-    written before any rename) exists; promote it. A leftover *_old is
-    always stale — drop it. A leftover *_next alongside a live dir is
-    overwritten by the next writer (mode=overwrite)."""
+    """Writer-side crash recovery. The commit protocol (all three
+    writers — add_documents / merge_deltas / compact) is:
+
+        1. append-only artifacts land first (doc_meta rows, tombstones,
+           the new generation dir) — all UNREFERENCED by readers, who
+           filter postings to meta['generations'] and doc_meta to
+           gen <= max(meta['generations']) implicitly (committed
+           writers never leave doc_meta rows above that bar);
+        2. replacement side tables are STAGED as `<name>_next` stamped
+           with epoch = meta['epoch'] + 1 (`_stage_side_table`);
+        3. ONE atomic meta.json rename commits the new generation set
+           AND the new epoch;
+        4. staged side tables are promoted (`_promote_side_table`).
+
+    Recovery therefore converges from ANY crash point:
+
+      * `<name>_next` stamped ABOVE meta['epoch'] → the flip never
+        happened: discard it (rollback — the live table was never
+        touched, so a rerun redoes the fold exactly once);
+      * `<name>_next` stamped AT/BELOW meta['epoch'] → the flip
+        committed it: finish the promotion;
+      * live dir missing (crash mid-promotion, which only runs
+        post-flip) → promote `_next` if present, else restore `_old`;
+      * doc_meta parquet files whose min(gen) exceeds every committed
+        generation → a crashed add's orphan append: unlink them (a
+        committed add's rows always satisfy gen <= max committed);
+      * generation dirs meta.json does not reference → garbage from a
+        crashed encode: drop them (a rerun re-encodes from scratch —
+        `_encode_and_write` appends, so a half-written dir must never
+        be reused; `_next_gen` picks fresh numbers anyway).
+
+    Readers never call this (they never mutate the index dir)."""
+    meta_path = index_dir / "meta.json"
+    if not meta_path.exists():
+        return
+    meta = json.loads(meta_path.read_text())
+    committed_epoch = int(meta.get("epoch", 0))
     for name in ("term_dict", "doc_meta"):
         live = index_dir / name
         nxt = index_dir / f"{name}_next"
         old = index_dir / f"{name}_old"
-        if not live.exists() and nxt.exists():
-            nxt.rename(live)
+        if not live.exists():
+            if nxt.exists():
+                nxt.rename(live)
+            elif old.exists():
+                old.rename(live)
+        elif nxt.exists():
+            if _read_epoch(nxt) <= committed_epoch:
+                _promote_side_table(index_dir, name)
+            else:
+                shutil.rmtree(nxt)
         if live.exists() and old.exists():
             shutil.rmtree(old, ignore_errors=True)
+    committed = [int(g) for g in meta.get("generations", [])]
+    if committed:
+        _sweep_orphan_doc_meta(index_dir, max(committed))
+        _drop_unreferenced_generations(index_dir, committed)
+
+
+def _sweep_orphan_doc_meta(index_dir: Path, max_committed_gen: int) -> None:
+    """Unlink doc_meta parquet files left by a crashed add_documents:
+    the add appends its batch's rows (gen = the new generation number)
+    BEFORE the meta flip, so a crash strands files whose every row has
+    gen > max(committed). Committed writers never produce such files.
+    Decided from parquet footer statistics alone (no data read); a
+    file without usable stats falls back to reading its tiny gen
+    column."""
+    import pyarrow.parquet as pq
+
+    dm = index_dir / "doc_meta"
+    if not dm.exists():
+        return
+    for f in dm.glob("*.parquet"):
+        try:
+            md = pq.ParquetFile(f).metadata
+            gen_idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "gen"
+            )
+            mins = []
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(gen_idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                mins.append(st.min)
+            file_min = min(mins) if mins else None
+        except (StopIteration, ValueError, OSError):
+            import pyarrow.parquet as _pq
+
+            col = _pq.read_table(f, columns=["gen"])["gen"]
+            file_min = col.to_pandas().min() if len(col) else None
+        if file_min is not None and int(file_min) > max_committed_gen:
+            f.unlink()
+
+
+def _drop_unreferenced_generations(index_dir: Path, committed: list[int]) -> None:
+    """Remove generation dirs meta.json does not reference — garbage
+    left by a crashed add/merge/compact between encode and commit.
+    Safe: readers filter every segment scan to meta['generations'],
+    and a crashed initial build's generation 0 IS referenced (meta is
+    written before the gen-0 encode, so build resume is untouched)."""
+    for name in ("segments", "manifest"):
+        base = index_dir / name
+        if not base.exists():
+            continue
+        for p in base.glob("generation=*"):
+            if p.is_dir() and int(p.name.split("=")[1]) not in committed:
+                shutil.rmtree(p)
 
 
 def _write_meta(index_dir: Path, meta: dict) -> None:
@@ -437,6 +568,7 @@ def build_index(
         ).write.mode("overwrite").parquet(str(td_dir))
         meta = {
             "format": SEGMENT_FORMAT,
+            "epoch": 0,  # side-table commit epoch (see _recover_swaps)
             "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
             "n_docs": float(stats_row["n_docs"]),
             "avgdl": float(stats_row["avgdl"]),

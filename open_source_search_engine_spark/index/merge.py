@@ -130,19 +130,15 @@ def _live_doc_stats(spark: SparkSession, index_dir: Path):
     ).collect()[0]
 
 
-def _swap_term_dict(index_dir: Path, merged_dict: DataFrame) -> None:
-    """Crash-safe term_dict replacement: old dict is renamed aside
-    (cheap) before the new one takes its place, so no instant exists
-    with NO term_dict on disk; builder.load_meta recovers from
-    term_dict_next if a crash lands between the renames."""
-    tmp_dict = index_dir / "term_dict_next"
-    old_dict_dir = index_dir / "term_dict_old"
-    merged_dict.write.mode("overwrite").parquet(str(tmp_dict))
-    if old_dict_dir.exists():
-        shutil.rmtree(old_dict_dir)
-    (index_dir / "term_dict").rename(old_dict_dir)
-    tmp_dict.rename(index_dir / "term_dict")
-    shutil.rmtree(old_dict_dir)
+# Side-table commit protocol: stage (B._stage_side_table, epoch-
+# stamped) → atomic meta flip → promote (B._promote_side_table).
+# Rationale and the recovery matrix live on builder._recover_swaps.
+# The old swap-before-flip order had a rerun-divergence window: a
+# crash between the term_dict swap and the meta flip left the df fold
+# APPLIED but the merge uncommitted, so the rerun folded it again
+# (double-counted df). Staged-ahead dirs are discarded by recovery
+# instead, so the fold lands exactly once, with the meta rename as the
+# single commit point for generations AND stats.
 
 
 # tombstone tables up to this on-disk size ship as a map-side hash
@@ -429,10 +425,12 @@ def add_documents(
         .groupBy("term", "term_id")
         .agg(F.sum("df").alias("df"))
     )
-    _swap_term_dict(index_dir, merged_dict)
-    # the dict just swapped: any warm handle's persisted copy must not
-    # be served the pre-swap cache
-    B.refresh_read_caches(spark, index_dir)
+    new_epoch = int(meta.get("epoch", 0)) + 1
+    # STAGE the folded dict unreferenced — the live term_dict is not
+    # touched until the meta flip commits this add, so a crash anywhere
+    # below rolls the fold back (recovery discards the staged-ahead
+    # dir) and the rerun applies it exactly once
+    B._stage_side_table(index_dir, "term_dict", merged_dict, new_epoch)
 
     new_max = max(int(row["max_doc_id"]), meta["max_doc_id"])
     try:
@@ -453,8 +451,12 @@ def add_documents(
         avgdl=float(row["avgdl"]),
         max_doc_id=new_max,
         generations=sorted(set(meta["generations"]) | {gen}),
+        epoch=new_epoch,
     )
-    B._write_meta(index_dir, meta)
+    B._write_meta(index_dir, meta)  # THE commit point
+    B._promote_side_table(index_dir, "term_dict")
+    # the dict just promoted: any warm handle's persisted copy must
+    # not be served the pre-swap cache
     B.refresh_read_caches(spark, index_dir)
     if max_generations is not None:
         merged = maybe_compact(
@@ -513,17 +515,10 @@ def decode_segments_to_postings(seg: DataFrame) -> DataFrame:
     return seg.mapInPandas(it, schema)
 
 
-def _drop_unreferenced_generations(index_dir: Path, committed: list[int]) -> None:
-    """Remove generation dirs meta.json does not reference — garbage
-    left by a crashed merge/compact between encode and commit. Safe:
-    readers filter every segment scan to meta['generations']."""
-    for name in ("segments", "manifest"):
-        base = index_dir / name
-        if not base.exists():
-            continue
-        for p in base.glob("generation=*"):
-            if p.is_dir() and int(p.name.split("=")[1]) not in committed:
-                shutil.rmtree(p)
+# _drop_unreferenced_generations moved to builder (it now runs inside
+# every writer's load_meta(recover=True) as part of crash recovery);
+# kept as an alias for callers/tests addressing it through this module.
+_drop_unreferenced_generations = B._drop_unreferenced_generations
 
 
 def compact(spark: SparkSession, index_dir: str | Path) -> dict:
@@ -533,10 +528,10 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
 
     Reader/crash safety (VERDICT r04 item 4): the rebuilt segments are
     written as a NEW generation (the base generation number keeps
-    increasing — it does not reset to 0), doc_meta/term_dict are
-    swapped by cheap renames with crash recovery
-    (builder._recover_swaps), and the commit is ONE atomic meta.json
-    rename. A concurrent reader sees the old store or the new one,
+    increasing — it does not reset to 0), doc_meta/term_dict
+    replacements are STAGED epoch-stamped and promoted only after the
+    flip (builder._recover_swaps has the recovery matrix), and the
+    commit is ONE atomic meta.json rename. A concurrent reader sees the old store or the new one,
     never a half-swapped tree (reads filter segment scans to
     meta['generations']); a crash leaves either the old store plus
     unreferenced garbage dirs (removed by the next compact) or the
@@ -591,20 +586,19 @@ def compact(spark: SparkSession, index_dir: str | Path) -> dict:
         posts.join(dm_live.select("doc_id", "doc_len"), "doc_id"),
         index_dir, new_gen, None, cfg, "compact", max_id,
     )
-    dm_next = index_dir / "doc_meta_next"
-    dm_old = index_dir / "doc_meta_old"
-    dm_live.withColumn("gen", F.lit(new_gen)).write.mode("overwrite").parquet(
-        str(dm_next)
+    new_epoch = int(meta.get("epoch", 0)) + 1
+    B._stage_side_table(
+        index_dir, "doc_meta", dm_live.withColumn("gen", F.lit(new_gen)), new_epoch
     )
-    if dm_old.exists():
-        shutil.rmtree(dm_old)
-    (index_dir / "doc_meta").rename(dm_old)
-    dm_next.rename(index_dir / "doc_meta")
-    shutil.rmtree(dm_old)
-    _swap_term_dict(index_dir, new_dict)
+    B._stage_side_table(index_dir, "term_dict", new_dict, new_epoch)
 
-    meta.update(n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id, generations=[new_gen])
+    meta.update(
+        n_docs=n_docs, avgdl=avgdl, max_doc_id=max_id,
+        generations=[new_gen], epoch=new_epoch,
+    )
     B._write_meta(index_dir, meta)  # THE commit point (atomic rename)
+    B._promote_side_table(index_dir, "doc_meta")
+    B._promote_side_table(index_dir, "term_dict")
 
     # post-commit sweep: dirs no reader with the new meta can reach
     for g in committed:
@@ -659,11 +653,15 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict | None:
         WITHOUT replace double-counts it, as it would in any LSM).
 
     Commit protocol (ADVICE r04): the merged generation is encoded as
-    an UNREFERENCED generation dir, then ONE atomic meta.json rename
-    flips readers from {deltas} to {new_gen}; the old delta dirs are
-    deleted only after the flip. No read window can see a delta's
-    postings twice, and a crash leaves either the old committed set
-    (plus a garbage dir the next compact removes) or the new one.
+    an UNREFERENCED generation dir and the df-folded term_dict is
+    STAGED epoch-stamped (never applied to the live dict), then ONE
+    atomic meta.json rename flips readers from {deltas} to {new_gen}
+    and commits the stats; the staged dict is promoted and the old
+    delta dirs deleted only after the flip. No read window can see a
+    delta's postings twice, a crash leaves either the old committed
+    set (garbage swept by the next writer's recovery) or the new one,
+    and a rerun after any crash applies the df fold exactly once
+    (builder._recover_swaps).
 
     Returns the new meta when a merge ran, None when there was nothing
     to merge (fewer than two delta generations — the same contract as
@@ -715,23 +713,29 @@ def merge_deltas(spark: SparkSession, index_dir: str | Path) -> dict | None:
         .groupBy("doc_id")
         .agg(F.max_by("doc_len", "gen").alias("doc_len"))
     )
+    new_epoch = int(meta.get("epoch", 0)) + 1
     try:
         B._encode_and_write(
             posts.join(dm, "doc_id"),
             index_dir, new_gen, None, cfg, "delta_merge", meta["max_doc_id"],
         )
-        _swap_term_dict(index_dir, merged_dict)
+        # stage the df-folded dict UNREFERENCED: the live term_dict is
+        # untouched until the flip, so a crash here rolls the fold back
+        # and the rerun (which still sees >= 2 deltas) applies it once
+        B._stage_side_table(index_dir, "term_dict", merged_dict, new_epoch)
     finally:
         posts.unpersist()
-    B.refresh_read_caches(spark, index_dir)
 
     row = _live_doc_stats(spark, index_dir)
     meta.update(
         n_docs=float(row["n_docs"]),
         avgdl=float(row["avgdl"]),
         generations=sorted((set(committed) - set(deltas)) | {new_gen}),
+        epoch=new_epoch,
     )
     B._write_meta(index_dir, meta)  # atomic flip: {deltas} -> {new_gen}
+    B._promote_side_table(index_dir, "term_dict")
+    B.refresh_read_caches(spark, index_dir)
     for g in deltas:
         for name in ("segments", "manifest"):
             old = index_dir / name / f"generation={g}"

@@ -6,8 +6,15 @@ as binary columns
 
     docs_blob   delta-gap + LEB128 varint doc_ids  (functions/codec)
     tfs_blob    LEB128 varint term frequencies
-    dls_blob    LEB128 varint doc lengths (one per posting — constant
-                per doc, so ~1-2 bytes after varint)
+    dls_blob    FIXED-WIDTH little-endian uint32 doc lengths (one per
+                posting). Deliberately NOT varint: doc lengths are
+                2-byte-sized values, and LEB128-encoding them costs a
+                byte-scatter pass ~50x slower than the uint32
+                cast+memcpy (measured 16.6s vs 0.3s per 20M postings
+                warm) — at high parallelism that pass dominated the
+                encode stage and sank build scaling efficiency
+                (BENCH.md §r05). 4 B/posting is still 4 B less than
+                the float64 score v1 persisted.
     pos_blob    concatenated SELF-CONTAINED per-posting position
                 streams (codec.positions_encode; split points recovered
                 from tfs + continuation bits). The reference's posdb
@@ -55,7 +62,7 @@ BLOCK_SCHEMA = (
     "tfs_blob binary, dls_blob binary, pos_blob binary"
 )
 
-SEGMENT_FORMAT = 2
+SEGMENT_FORMAT = 3  # v3 = v2 with fixed-width dls_blob (see header)
 
 
 def bm25_rescore(
@@ -130,8 +137,7 @@ def _encode_sorted(
     d_off = np.concatenate(([0], np.cumsum(d_sizes)))
     t_bytes, t_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
     t_off = np.concatenate(([0], np.cumsum(t_sizes)))
-    l_bytes, l_sizes = varint_encode_with_sizes(dls.astype(np.uint64))
-    l_off = np.concatenate(([0], np.cumsum(l_sizes)))
+    l_bytes = dls.astype("<u4").tobytes()
 
     if pos_blobs is not None:
         # per-posting streams are self-contained → a block's pos_blob
@@ -164,7 +170,7 @@ def _encode_sorted(
             t_bytes[t_off[s]:t_off[e]] for s, e in zip(b_starts, b_ends)
         ],
         "dls_blob": [
-            l_bytes[l_off[s]:l_off[e]] for s, e in zip(b_starts, b_ends)
+            l_bytes[4 * s:4 * e] for s, e in zip(b_starts, b_ends)
         ],
         "pos_blob": pos_col,
     }
@@ -384,8 +390,7 @@ def _encode_sorted_arrow(
     d_off = np.concatenate(([0], np.cumsum(d_sizes)))
     t_bytes, t_sizes = varint_encode_with_sizes(tfs.astype(np.uint64))
     t_off = np.concatenate(([0], np.cumsum(t_sizes)))
-    l_bytes, l_sizes = varint_encode_with_sizes(dls.astype(np.uint64))
-    l_off = np.concatenate(([0], np.cumsum(l_sizes)))
+    l_bytes = dls.astype("<u4").tobytes()
 
     block_bounds = np.concatenate((b_starts, [n]))
     cols = {
@@ -404,7 +409,7 @@ def _encode_sorted_arrow(
         ),
         "docs_blob": _binary_array(d_bytes, d_off[block_bounds]),
         "tfs_blob": _binary_array(t_bytes, t_off[block_bounds]),
-        "dls_blob": _binary_array(l_bytes, l_off[block_bounds]),
+        "dls_blob": _binary_array(l_bytes, 4 * block_bounds),
     }
     if pos_sorted is not None:
         p_data, p_off = pos_sorted
@@ -545,7 +550,9 @@ def decode_blocks(
         docs_parts.append(d)
         tf_parts.append(t)
         if rescore is not None:
-            dl_parts.append(varint_decode(bytes(blob_l)).astype(np.int64))
+            dl_parts.append(
+                np.frombuffer(bytes(blob_l), dtype="<u4").astype(np.int64)
+            )
         gen_parts.append(np.full(d.size, g, dtype=np.int64))
         if with_positions:
             if blob_p is None:

@@ -18,6 +18,7 @@ Writes BENCH.md and prints a JSON summary.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import statistics
 import subprocess
@@ -199,20 +200,31 @@ def main() -> None:
         "scaling_efficiency_4x": round(eff, 3),
         "scaling_efficiency_4x_best": round(eff_best, 3),
     }
-    (REPO / "BENCH.md").write_text(
-        "# BENCH — measured scaling (M6 protocol, BASELINE.md)\n\n"
-        "Identical build+query job via `spark-submit --py-files engine.zip`\n"
-        "at two parallelism levels on the same input (the in-sandbox\n"
-        "evidence for the north_rule's N vs 4N cluster criterion — no real\n"
-        "cluster is available here).\n\n"
-        f"- input: deterministic synthetic code corpus "
-        f"({summary['n_docs']} docs, fixtures/gen_corpus.py seed=42, "
-        f"code-aware tokenizer), {runs} runs, medians reported; each\n"
-        f"  run's value is the best of 2 consecutive warm in-process\n"
-        f"  builds (this VM has minutes-long co-tenant slowdown\n"
-        f"  episodes inflating identical runs up to ~1.6×; both levels\n"
-        f"  get identical treatment, raw per-build times in the run\n"
-        f"  log)\n\n"
+    # APPEND a labeled section (BENCH.md carries the full round history
+    # plus the protocol preamble — overwriting it would erase the run
+    # record the verdicts compare against; r04 VERDICT item 5).
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "re-measurement")
+    raw_log_rows = "".join(
+        f"| {r + 1} | local[{c}] | "
+        + ", ".join(f"{x:.2f}" for x in results[c][r]["build_s_raw"])
+        + f" | {results[c][r]['build_s']:.2f} | "
+        + (
+            f"{(results[hi][r]['docs_per_sec'] / results[lo][r]['docs_per_sec']) / (hi / lo):.3f}"
+            if c == hi
+            else "—"
+        )
+        + " |\n"
+        for r in range(runs)
+        for c in (lo, hi)
+    )
+    section = (
+        f"\n## §{label} — protocol {lo}-vs-{hi}\n\n"
+        f"Identical build+query job via `spark-submit --py-files engine.zip`\n"
+        f"at two taskset-pinned parallelism levels on the same input\n"
+        f"({summary['n_docs']} docs, fixtures/gen_corpus.py seed=42,\n"
+        f"code-aware tokenizer), {runs} runs, medians reported; each run's\n"
+        f"value is the best of 2 consecutive warm in-process builds\n"
+        f"(episode-resistant protocol, see preamble).\n\n"
         "| parallelism | build sec (median) | docs/sec (median) | build sec (best) | docs/sec (best) | BM25 top-10 p50 sec |\n"
         "|---|---|---|---|---|---|\n"
         f"| local[{lo}] | {med[lo]['build_s']:.2f} | {med[lo]['docs_per_sec']:.0f} | "
@@ -221,26 +233,18 @@ def main() -> None:
         f"| local[{hi}] | {med[hi]['build_s']:.2f} | {med[hi]['docs_per_sec']:.0f} | "
         f"{med[hi]['build_s_best']:.2f} | {med[hi]['docs_per_sec_best']:.0f} | "
         f"{med[hi]['query_p50_s']:.3f} |\n\n"
-        f"**Scaling efficiency ({lo}→{hi} cores, ×{hi//lo}):** "
-        f"median `{eff:.3f}`, best-of-{runs} `{eff_best:.3f}`"
-        f" (target ≥ 0.8; best-of-N is the uncontended estimate — the\n"
+        f"**Scaling efficiency ({lo}→{hi} cores, ×{hi // lo}):** "
+        f"median `{eff:.3f}`, best-of-{runs} `{eff_best:.3f}` "
+        f"(target ≥ 0.8; best-of-N is the uncontended estimate — the\n"
         f"co-tenant's bursty steal only ever slows runs down)\n\n"
-        "Protocol (BASELINE.md): each level runs `taskset`-pinned to\n"
-        "exactly its core count — an honest N-core-node stand-in.\n\n"
-        "Why 2 vs 8 (still N vs 4N): all cores of this single box share\n"
-        "ONE memory controller, so bandwidth-bound phases (shuffle,\n"
-        "sort) hit a hardware scaling ceiling when carving the same\n"
-        "node thinner — measured on this host: a pure-CPU numpy\n"
-        "sort/gather probe scales at 0.46 from 4→16 pinned cores vs\n"
-        "0.91 for compute-bound tokenization. A real 4N-node cluster\n"
-        "adds a memory bus per node; 2→8 keeps per-core bandwidth\n"
-        "comparable between levels and is the honest single-box analog\n"
-        "of adding nodes. The build is shuffle-partitioned by\n"
-        "(term-bucket, doc-range salt), the (bucket, term, salt, doc)\n"
-        "sort runs in Tungsten (JVM radix) rather than numpy, and no\n"
-        "driver-side collection exists in the hot path, so added\n"
-        "executors map to added partitions linearly.\n"
+        "Raw per-run log:\n\n"
+        "| run | level | timed builds (s) | per-run value | eff (run) |\n"
+        "|---|---|---|---|---|\n"
+        f"{raw_log_rows}"
     )
+    bench_md = REPO / "BENCH.md"
+    with open(bench_md, "a") as f:
+        f.write(section)
     print(json.dumps(summary))
 
 

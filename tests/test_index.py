@@ -124,8 +124,6 @@ def test_block_metadata_consistent(spark, index_dir):
     would under-prune or, worse, prune true candidates; doc ranges
     match blob contents; n_docs ≤ block_size; the rescore path yields
     scores that respect the block bound."""
-    from open_source_search_engine_spark.functions.codec import varint_decode
-
     pdf = spark.read.parquet(str(index_dir / "segments")).limit(500).toPandas()
     assert (pdf["n_docs"] <= TEST_CFG.block_size).all()
     rescore = (1.7, 120.0, 1.2, 0.75)  # arbitrary live stats
@@ -133,7 +131,8 @@ def test_block_metadata_consistent(spark, index_dir):
         docs, tfs, scores = segments.decode_blocks(
             pd.DataFrame([r]), rescore=rescore
         )
-        dls = varint_decode(bytes(r["dls_blob"]))
+        # dls_blob is a fixed-width <u4 stream (format v3)
+        dls = np.frombuffer(bytes(r["dls_blob"]), dtype="<u4")
         assert docs[0] == r["doc_id_min"] and docs[-1] == r["doc_id_max"]
         assert docs.size == r["n_docs"] == tfs.size == scores.size
         assert np.all(np.diff(docs) > 0)

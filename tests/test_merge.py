@@ -475,9 +475,9 @@ def test_compact_crash_window_and_rerun(spark, corpora, tmp_path, monkeypatch):
         merge.compact(spark, d)
     monkeypatch.undo()
 
-    # (a) reads still work off the old committed generations (membership
-    # — term_dict was already swapped to the live-exact df, which is
-    # consistent with the old generation set; scores may differ)
+    # (a) reads still work off the old committed generations — the
+    # rebuilt doc_meta/term_dict were only STAGED (epoch-stamped _next
+    # dirs), so the live side tables are untouched too
     got = set(
         wand.wand_topk(spark, d, ["def", "return"], k=10_000, mode="or")
         .toPandas()["doc_id"]
@@ -504,3 +504,170 @@ def test_compact_crash_window_and_rerun(spark, corpora, tmp_path, monkeypatch):
     assert (d / "doc_meta").exists() and not (d / "doc_meta_next").exists()
     again = wand.wand_topk(spark, d, ["def", "return"], k=20, mode="or").toPandas()
     assert list(again["doc_id"]) == list(want["doc_id"])
+
+
+def test_add_documents_crash_rollback_and_rerun_exact(
+    spark, corpora, tmp_path, monkeypatch
+):
+    """The df fold lands EXACTLY ONCE across a crash+retry: a crash at
+    add_documents' commit point (after the doc_meta append, the staged
+    term_dict fold and the encode — the widest window) must leave the
+    committed store byte-equivalent to before the add, and the retried
+    add must converge to the same stats and scored top-k as a twin
+    store whose add never crashed. Pre-protocol, the retry re-applied
+    the df fold onto the already-swapped dict (double-counted df) and
+    doubled the doc_meta rows."""
+    base, extra, full = corpora
+    d = tmp_path / "idx_addcrash"
+    d_ref = tmp_path / "idx_addref"
+    for p in (d, d_ref):
+        builder.build_index(
+            spark, base, p, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+        )
+    merge.add_documents(spark, extra, d_ref)  # the never-crashed twin
+
+    td_before = (
+        spark.read.parquet(str(d / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    dm_rows_before = spark.read.parquet(str(d / "doc_meta")).count()
+
+    def boom(index_dir, meta):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(builder, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge.add_documents(spark, extra, d)
+    monkeypatch.undo()
+
+    # rollback: live term_dict untouched (the fold was only staged)
+    assert (d / "term_dict_next").exists()
+    td_crashed = (
+        spark.read.parquet(str(d / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(td_crashed, td_before)
+
+    # recovery (any writer's load_meta(recover=True)): staged-ahead
+    # dict discarded, orphan doc_meta rows swept, garbage gen dropped
+    merge.B.load_meta(d, recover=True)
+    assert not (d / "term_dict_next").exists()
+    spark.catalog.refreshByPath(str(d / "doc_meta"))
+    assert spark.read.parquet(str(d / "doc_meta")).count() == dm_rows_before
+    assert merge.current_generations(d) == [0]
+
+    # retry: converges to the never-crashed twin — stats AND scores
+    merge.add_documents(spark, extra, d)
+    for p in (d, d_ref):
+        spark.catalog.refreshByPath(str(p / "term_dict"))
+    td_got = (
+        spark.read.parquet(str(d / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    td_want = (
+        spark.read.parquet(str(d_ref / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(td_got, td_want)
+    m_got, m_want = merge.B.load_meta(d), merge.B.load_meta(d_ref)
+    assert (m_got["n_docs"], m_got["avgdl"]) == (m_want["n_docs"], m_want["avgdl"])
+    for terms in TERMS:
+        got = wand.wand_topk(spark, d, terms, k=20, mode="or").toPandas()
+        want = _oracle(full, terms, k=20)
+        assert list(got["doc_id"]) == list(want["doc_id"]), terms
+        assert got["score"].tolist() == pytest.approx(
+            want["score"].tolist(), abs=1e-5
+        )
+
+
+def test_merge_deltas_crash_rollback_and_rerun_exact(
+    spark, corpora, tmp_path, monkeypatch
+):
+    """Same exactly-once property for merge_deltas' stats restoration:
+    crash at the flip → live dict untouched; rerun still sees >= 2
+    deltas and applies the fold once — term_dict/scored top-k match
+    the never-crashed twin."""
+    base, extra, full = corpora
+    extra_pdf = extra.toPandas()
+    lo = extra_pdf[extra_pdf["doc_id"] < 230]
+    hi = extra_pdf[extra_pdf["doc_id"] >= 230]
+    d = tmp_path / "idx_mdcrash"
+    d_ref = tmp_path / "idx_mdref"
+    for p in (d, d_ref):
+        builder.build_index(
+            spark, base, p, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+        )
+        merge.add_documents(spark, spark.createDataFrame(lo), p)
+        merge.add_documents(spark, spark.createDataFrame(hi), p)
+        # delta-tier mutation so the fold is non-trivial (df_adj != 0)
+        merge.delete_documents(
+            spark, p, [int(x) for x in lo["doc_id"].iloc[:5]]
+        )
+    assert merge.merge_deltas(spark, d_ref) is not None  # never-crashed twin
+
+    def boom(index_dir, meta):
+        raise RuntimeError("injected crash at flip")
+
+    monkeypatch.setattr(builder, "_write_meta", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge.merge_deltas(spark, d)
+    monkeypatch.undo()
+
+    # rerun (its load_meta(recover=True) discards the staged fold and
+    # the unreferenced merged generation) — then converge
+    assert merge.merge_deltas(spark, d) is not None
+    td_got = (
+        spark.read.parquet(str(d / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    td_want = (
+        spark.read.parquet(str(d_ref / "term_dict")).toPandas()
+        .sort_values("term").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(td_got, td_want)
+    live = full.filter(
+        ~F.col("doc_id").isin([int(x) for x in lo["doc_id"].iloc[:5]])
+    )
+    for terms in TERMS:
+        got = wand.wand_topk(spark, d, terms, k=20, mode="or").toPandas()
+        want = _oracle(live, terms, k=20)
+        assert list(got["doc_id"]) == list(want["doc_id"]), terms
+        assert got["score"].tolist() == pytest.approx(
+            want["score"].tolist(), abs=1e-5
+        )
+
+
+def test_recover_swaps_epoch_matrix(spark, corpora, tmp_path):
+    """Unit matrix for builder._recover_swaps: staged-ahead dirs roll
+    back, staged-at-or-below-epoch dirs promote, mid-promotion states
+    repair, and unstamped legacy _next dirs (no _epoch file) promote."""
+    base, _, _ = corpora
+    d = tmp_path / "idx_epochs"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    td = d / "term_dict"
+    nxt = d / "term_dict_next"
+    old = d / "term_dict_old"
+    epoch = merge.B.load_meta(d).get("epoch", 0)
+
+    import shutil
+
+    # staged AHEAD of the committed epoch → rollback (discard)
+    shutil.copytree(td, nxt)
+    (nxt / "_epoch").write_text(str(epoch + 1))
+    merge.B.load_meta(d, recover=True)
+    assert not nxt.exists() and td.exists()
+
+    # staged AT the committed epoch (flip happened) → promote
+    shutil.copytree(td, nxt)
+    (nxt / "_epoch").write_text(str(epoch))
+    merge.B.load_meta(d, recover=True)
+    assert not nxt.exists() and td.exists()
+    assert merge.B._read_epoch(td) == epoch
+
+    # crash mid-promotion: live renamed aside, _next not yet promoted
+    td.rename(old)
+    shutil.copytree(old, nxt)
+    merge.B.load_meta(d, recover=True)
+    assert td.exists() and not nxt.exists() and not old.exists()
