@@ -52,12 +52,17 @@ n_docs = docs.count()
 # store a real cluster node would use for segment files
 idx_root = "/dev/shm" if Path("/dev/shm").is_dir() else None
 warm_idx = Path(tempfile.mkdtemp(prefix=f"warm_{cpus}_", dir=idx_root)) / "idx"
-# warm-up sized and spread so EVERY long-lived python worker faults
-# its reusable malloc arena to full batch size before the timer (the
-# steady-state condition of a real cluster's executors; arena
-# first-touch is a fixed per-worker cost on virtualized hosts)
+# warm-up = ONE untimed build of the IDENTICAL job (same corpus, same
+# partitioning, same config). A scaled-down warm-up (48k docs) left
+# the high-parallelism level under-warmed — with 8 workers each saw
+# only 6k docs (vs 24k at local[2]), and the first timed build at
+# local[8] stayed 20-25% above the second while local[2]'s gap was
+# ~5%, biasing efficiency DOWN. Full-size warm-up gives every worker
+# the exact per-task batch shape of the timed job — the steady-state
+# condition of a real cluster's long-lived executors — and both
+# levels get identical treatment.
 builder.build_index(
-    spark, docs.limit(48000).repartition(cpus), warm_idx,
+    spark, docs, warm_idx,
     cfg=EngineConfig(n_buckets=64, n_salts=8, block_size=128),
     text_col="content", tokenizer_mode="code",
 )
@@ -224,7 +229,10 @@ def main() -> None:
         f"({summary['n_docs']} docs, fixtures/gen_corpus.py seed=42,\n"
         f"code-aware tokenizer), {runs} runs, medians reported; each run's\n"
         f"value is the best of 2 consecutive warm in-process builds\n"
-        f"(episode-resistant protocol, see preamble).\n\n"
+        f"after one untimed FULL-SIZE warm-up build of the identical job\n"
+        f"(episode-resistant protocol, see preamble; full-size warm-up\n"
+        f"replaces the earlier 48k-doc warm-up, which under-warmed the\n"
+        f"high-parallelism level's workers and biased efficiency down).\n\n"
         "| parallelism | build sec (median) | docs/sec (median) | build sec (best) | docs/sec (best) | BM25 top-10 p50 sec |\n"
         "|---|---|---|---|---|---|\n"
         f"| local[{lo}] | {med[lo]['build_s']:.2f} | {med[lo]['docs_per_sec']:.0f} | "
