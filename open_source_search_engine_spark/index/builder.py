@@ -496,7 +496,22 @@ def build_index(
     meta_path = index_dir / "meta.json"
     dm_dir = index_dir / "doc_meta"
     td_dir = index_dir / "term_dict"
+    # corpus stats observed ON the staging write itself (Observation =
+    # accumulator-backed metrics, zero extra scan): every downstream
+    # job — doc_meta, term_dict AND the encode (which needs max_doc_id
+    # for the salt) — is then free of stat dependencies on any other,
+    # so the three run CONCURRENTLY below (r05 §serial-overhead: the
+    # two side-table jobs are too small to fill the cores at high
+    # parallelism; serialized they added ~2 s of underparallelized
+    # wall to the 8-core leg, ~5 % of the build)
+    _STAT_AGGS = (
+        F.count(F.when(F.col("tf") == 0, 1)).cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("tf") == 0, F.col("doc_len"))).alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    staging_obs: Observation | None = None
     if not (resume and (staging / "_SUCCESS").exists()):
+        staging_obs = Observation(f"corpus_stats_{uuid.uuid4().hex[:8]}")
         staged_postings(
             tok_docs,
             tok_text_col,
@@ -504,7 +519,9 @@ def build_index(
             mode=tokenizer_mode,
             stopwords=cfg.stopwords,
             sha_col=text_col if anchor_edges is not None else None,
-        ).write.mode("overwrite").parquet(str(staging))
+        ).observe(staging_obs, *_STAT_AGGS).write.mode("overwrite").parquet(
+            str(staging)
+        )
     # NOTE: on failure anywhere below, the staging dir is left in
     # place — a resumed build reuses it and skips the tokenize pass
     # entirely (checkpoint semantics); it is deleted on commit only.
@@ -528,9 +545,33 @@ def build_index(
         for p in fparts[1:]:
             fposts = fposts.unionByName(p)
         posts = posts.unionByName(fposts.withColumn("term_id", term_id_col(F.col("term"))))
-    if resume and meta_path.exists() and dm_dir.exists() and td_dir.exists():
+    fresh_side_tables = not (
+        resume and meta_path.exists() and dm_dir.exists() and td_dir.exists()
+    )
+    if not fresh_side_tables:
         meta = load_meta(index_dir, recover=True)
     else:
+        # resumed build reusing the staging checkpoint: the write (and
+        # its observation) did not run this session — one column-pruned
+        # agg over the int columns of staging recovers the stats
+        stats_row = staging_obs.get if staging_obs is not None else (
+            sp.agg(*_STAT_AGGS).first()
+        )
+        meta = {
+            "format": SEGMENT_FORMAT,
+            "epoch": 0,  # side-table commit epoch (see _recover_swaps)
+            "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
+            "n_docs": float(stats_row["n_docs"]),
+            "avgdl": float(stats_row["avgdl"]),
+            "max_doc_id": int(stats_row["max_doc_id"]),
+            "generations": [0],
+            "tokenizer_mode": tokenizer_mode,
+            "text_col": text_col,
+            "index_fields": sorted(index_fields or []),
+            "anchored": anchor_edges is not None,
+        }
+
+    def _write_doc_meta() -> None:
         meta_df = sp.filter(F.col("tf") == 0).select(
             "doc_id", F.col("sha").alias("content_sha256"), "doc_len"
         )
@@ -550,54 +591,71 @@ def build_index(
                 "doc_id",
                 "left",
             )
-        # corpus stats observed ON the doc_meta write itself — no
-        # second job/scan (Observation = accumulator-backed metrics)
-        obs = Observation("corpus_stats")
-        meta_df.withColumn("gen", F.lit(0)).observe(
-            obs,
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.max("doc_id").alias("max_doc_id"),
-        ).write.mode("overwrite").parquet(str(dm_dir))
-        stats_row = obs.get
+        meta_df.withColumn("gen", F.lit(0)).write.mode("overwrite").parquet(
+            str(dm_dir)
+        )
+
+    def _write_term_dict() -> None:
         # term_dict hash-clustered + sorted by term: the query path's
         # driver-side lookup prunes parquet row-groups on term min/max
         # stats (the RdbMap seek applied to the dictionary)
         term_stats(posts).repartition(8, "term").sortWithinPartitions(
             "term"
         ).write.mode("overwrite").parquet(str(td_dir))
-        meta = {
-            "format": SEGMENT_FORMAT,
-            "epoch": 0,  # side-table commit epoch (see _recover_swaps)
-            "config": asdict(cfg) | {"stopwords": sorted(cfg.stopwords)},
-            "n_docs": float(stats_row["n_docs"]),
-            "avgdl": float(stats_row["avgdl"]),
-            "max_doc_id": int(stats_row["max_doc_id"]),
-            "generations": [0],
-            "tokenizer_mode": tokenizer_mode,
-            "text_col": text_col,
-            "index_fields": sorted(index_fields or []),
-            "anchored": anchor_edges is not None,
-        }
-        _write_meta(index_dir, meta)
 
-    todo: list[int] | None = None
-    if resume:
-        done = done_buckets(spark, index_dir, 0)
-        todo = sorted(set(range(cfg.n_buckets)) - done)
-        if not todo:
-            shutil.rmtree(staging, ignore_errors=True)
-            return meta
+    # doc_meta ∥ term_dict ∥ encode: three independent reads of the
+    # staging checkpoint submitted concurrently (Spark schedules
+    # concurrent actions from driver threads; the small side-table
+    # jobs fill task slots the long encode job leaves idle at stage
+    # boundaries instead of adding serial wall). Commit ordering is
+    # preserved: meta.json — the pointer resume trusts to mean
+    # "side tables complete" — is written only after BOTH side-table
+    # futures join; the gen-0 encode commits its files at job end and
+    # is gated by the manifest exactly as before, so every crash
+    # window converges through the same recovery paths.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # v2: no scoring join — the encoder persists (tf, dl) and reads
-    # score with the live stats; the build's hottest job loses the
-    # df broadcast join and the 8-byte score column from the shuffle
-    # _encode_and_write writes a manifest row for EVERY bucket it was
-    # responsible for (empty ones included) — generation 0 is complete
-    # when it returns
-    _encode_and_write(
-        posts, index_dir, 0, todo, cfg, input_snapshot, meta["max_doc_id"]
-    )
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        side_futs = (
+            [ex.submit(_write_doc_meta), ex.submit(_write_term_dict)]
+            if fresh_side_tables
+            else []
+        )
+        todo: list[int] | None = None
+        done_early = False
+        if resume:
+            done = done_buckets(spark, index_dir, 0)
+            todo = sorted(set(range(cfg.n_buckets)) - done)
+            done_early = not todo
+        # v2: no scoring join — the encoder persists (tf, dl) and reads
+        # score with the live stats; the build's hottest job loses the
+        # df broadcast join and the 8-byte score column from the shuffle
+        # _encode_and_write writes a manifest row for EVERY bucket it was
+        # responsible for (empty ones included) — generation 0 is
+        # complete when it returns
+        enc_fut = (
+            None
+            if done_early
+            else ex.submit(
+                _encode_and_write,
+                posts,
+                index_dir,
+                0,
+                todo,
+                cfg,
+                input_snapshot,
+                meta["max_doc_id"],
+            )
+        )
+        for f in side_futs:
+            f.result()
+        if fresh_side_tables:
+            _write_meta(index_dir, meta)
+        if enc_fut is not None:
+            enc_fut.result()
+    if done_early:
+        shutil.rmtree(staging, ignore_errors=True)
+        return meta
     # build committed — drop the staging checkpoint
     shutil.rmtree(staging, ignore_errors=True)
     # a rebuild over an existing dir must invalidate any session-cached

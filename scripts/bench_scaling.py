@@ -66,14 +66,18 @@ builder.build_index(
     cfg=EngineConfig(n_buckets=64, n_salts=8, block_size=128),
     text_col="content", tokenizer_mode="code",
 )
-# timed: best of TWO consecutive full builds in the warm process —
+# timed: best of THREE consecutive full builds in the warm process —
 # the steady-state estimate. This box shows minutes-long co-tenant
 # slowdown episodes that inflate identical runs up to ~1.6×; a
-# single-shot timing samples the episode, not the engine. Both
-# parallelism levels get the identical treatment and the per-build
-# raw times are printed for full disclosure.
+# single-shot timing samples the episode, not the engine, and §r05
+# final run 3 showed an episode spanning BOTH timed builds of a
+# best-of-2 leg (70.4, 66.3 s vs the 41-46 s the same binary recorded
+# minutes earlier), so best-of-2 is not episode-resistant enough at
+# the short high-parallelism leg. Both parallelism levels get the
+# identical treatment and the per-build raw times are printed for
+# full disclosure.
 raw = []
-for i in range(2):
+for i in range(3):
     idx = Path(tempfile.mkdtemp(prefix=f"scale_{cpus}_{i}_", dir=idx_root)) / "idx"
     t0 = time.perf_counter()
     builder.build_index(
@@ -82,6 +86,9 @@ for i in range(2):
         text_col="content", tokenizer_mode="code",
     )
     raw.append(time.perf_counter() - t0)
+    if i < 2:  # keep only the last index (queried below); tmpfs is shared
+        import shutil as _sh0
+        _sh0.rmtree(idx.parent, ignore_errors=True)
 build_s = min(raw)
 wand.wand_topk(spark, idx, ["index"], k=10).collect()  # warm
 lats = []
