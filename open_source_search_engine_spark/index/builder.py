@@ -227,8 +227,12 @@ def _drop_unreferenced_generations(index_dir: Path, committed: list[int]) -> Non
     """Remove generation dirs meta.json does not reference — garbage
     left by a crashed add/merge/compact between encode and commit.
     Safe: readers filter every segment scan to meta['generations'],
-    and a crashed initial build's generation 0 IS referenced (meta is
-    written before the gen-0 encode, so build resume is untouched)."""
+    and a crashed initial build never loses its gen-0 work: either
+    meta.json exists (it references generation 0), or it doesn't and
+    recovery returns before this sweep — in both cases resume keeps
+    the committed gen-0 files and done_buckets decides what is left
+    (the gen-0 encode runs CONCURRENTLY with the side-table writes
+    that gate the meta write, so meta may land before or after it)."""
     for name in ("segments", "manifest"):
         base = index_dir / name
         if not base.exists():

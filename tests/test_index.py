@@ -202,6 +202,49 @@ def test_resume_noop_when_complete(spark, tiny_corpus, tmp_path):
     assert sorted(str(p) for p in seg_root.rglob("*.parquet")) == before
 
 
+def test_resume_after_side_table_crash_recomputes_stats(
+    spark, tiny_corpus, tmp_path, monkeypatch
+):
+    """Crash between the staging checkpoint and the side-table commits:
+    the resumed build reuses staging (no re-tokenize, so no staging
+    Observation this session) and must recover the corpus stats from
+    the column-pruned agg fallback — meta.json stats and query results
+    must equal an uninterrupted build's (SURVEY.md §5.4)."""
+    ref_dir = tmp_path / "ref_idx"
+    builder.build_index(
+        spark, tiny_corpus, ref_dir, cfg=TEST_CFG, text_col="content",
+        tokenizer_mode="code",
+    )
+    ref_meta = builder.load_meta(ref_dir)
+    ref = wand.wand_topk(spark, ref_dir, ["def", "return"], k=10, mode="or").toPandas()
+
+    d = tmp_path / "crash_idx"
+    import open_source_search_engine_spark.index.builder as b
+
+    real_term_stats = b.term_stats
+    monkeypatch.setattr(
+        b, "term_stats", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    with pytest.raises(RuntimeError, match="kill"):
+        builder.build_index(
+            spark, tiny_corpus, d, cfg=TEST_CFG, text_col="content",
+            tokenizer_mode="code",
+        )
+    monkeypatch.setattr(b, "term_stats", real_term_stats)
+    assert (d / "_staging" / "_SUCCESS").exists()  # checkpoint survived
+    assert not (d / "meta.json").exists()  # commit pointer never landed
+
+    builder.build_index(
+        spark, tiny_corpus, d, cfg=TEST_CFG, text_col="content",
+        tokenizer_mode="code", resume=True,
+    )
+    got_meta = builder.load_meta(d)
+    for k in ("n_docs", "avgdl", "max_doc_id"):
+        assert got_meta[k] == ref_meta[k], k
+    got = wand.wand_topk(spark, d, ["def", "return"], k=10, mode="or").toPandas()
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_fast_postings_equals_algebra_path(spark, tiny_corpus):
     """fast_postings (mapInPandas pre-aggregated) must be row-identical
     to the algebra path for both tokenizer modes."""
