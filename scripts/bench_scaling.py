@@ -235,7 +235,7 @@ def main() -> None:
         f"at two taskset-pinned parallelism levels on the same input\n"
         f"({summary['n_docs']} docs, fixtures/gen_corpus.py seed=42,\n"
         f"code-aware tokenizer), {runs} runs, medians reported; each run's\n"
-        f"value is the best of 2 consecutive warm in-process builds\n"
+        f"value is the best of 3 consecutive warm in-process builds\n"
         f"after one untimed FULL-SIZE warm-up build of the identical job\n"
         f"(episode-resistant protocol, see preamble; full-size warm-up\n"
         f"replaces the earlier 48k-doc warm-up, which under-warmed the\n"
