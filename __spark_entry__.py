@@ -329,6 +329,25 @@ def _wand_q(terms: list[str], mode: str):
 
 STOPWORDS_FIXTURE = ("a", "the")  # present in the fixture vocab; no doc is all-stopword
 
+# pinned batch for wand_topk_batch — the three single-query wand
+# entries served from ONE scan/job (concurrent-load amortization)
+BATCH_QUERIES = {
+    "and2": (FLAGSHIP_TERMS, "and"),
+    "or2": (["dup", "merge"], "or"),
+    "or3": (["dup", "key", "scan"], "or"),
+}
+
+
+def _wand_batch_q():
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from open_source_search_engine_spark.index import wand as idx_wand
+
+        return idx_wand.wand_topk_batch(
+            spark, _segment_index(spark, sf_dir), BATCH_QUERIES, k=10
+        )
+
+    return run
+
 
 def _segment_index_stopworded(spark: SparkSession, sf_dir: str) -> Path:
     """Store built with stopwords enabled (X6 — Words.cpp isStopWord /
@@ -437,6 +456,10 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X6: same query against the stopworded store — doc_len/df/
         # avgdl all change, the oracle filters the same stopword set
         "wand_topk_stopworded": _wand_stopworded_q(FLAGSHIP_TERMS, "and"),
+        # concurrent-load shape: the three queries above in ONE job
+        # (one pruned scan over the union of term buckets, per-query
+        # kernel, per-query merge) — must be rank-identical per query
+        "wand_topk_batch": _wand_batch_q(),
         # --- index-backed operators (index/lists.py + operators/
         # indexed.py): the SAME oracles as the corpus-algebra entries
         # above, but served entirely from the segment store — decoded
@@ -538,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk_stopworded": osql.bm25_topk_sql(
             FLAGSHIP_TERMS, k=10, mode="and", stopwords=STOPWORDS_FIXTURE
         ),
+        "wand_topk_batch": osql.bm25_topk_batch_sql(BATCH_QUERIES, k=10),
         # indexed twins: IDENTICAL oracles to the corpus-algebra
         # entries — the driver proves the segment store serves every
         # operator with the same answers
@@ -824,6 +848,10 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         ("or2", "wand_topk_or"),
         ("or3", "wand_topk_3term"),
         ("stop", "wand_topk_stopworded"),
+        # the same three queries through the ONE-job batch API: carries
+        # an extra query_id column, union-aligned by name (NULL on the
+        # single-query variants — the ann suite's ivf_batch pattern)
+        ("batch", "wand_topk_batch"),
     ],
     "query_language": [
         ("basic", "query_language"),

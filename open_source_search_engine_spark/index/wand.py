@@ -419,3 +419,140 @@ def wand_topk(
     out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
     return out.select("doc_id", score.alias("score"))
+
+
+BATCH_KERNEL_SCHEMA = "query_id string, doc_id long, score double, n_terms int"
+
+
+def make_batch_salt_kernel(
+    resolved: list[tuple[str, list[int], str]],
+    k: int,
+    tombstones: tuple[np.ndarray, np.ndarray] | None,
+    scoring,
+):
+    """Per-salt kernel serving MANY queries from one block partition.
+
+    ``resolved`` = [(query_id, tids sorted, mode)]. Each query runs the
+    EXACT single-query kernel (make_salt_kernel) over the sub-frame of
+    its own term_ids — rank-identity with wand_topk is by construction,
+    per query (pinned in tests). Shared terms decode once per query
+    that uses them (bounded duplicate work; the scan and the shuffle —
+    the scale costs — are already shared)."""
+    kernels = [
+        (qid, tids, mode, make_salt_kernel(tids, k, mode, tombstones, scoring))
+        for qid, tids, mode in resolved
+    ]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = {int(t): g for t, g in pdf.groupby("term_id")}
+        outs = []
+        for qid, tids, mode, kern in kernels:
+            subs = [groups[t] for t in tids if t in groups]
+            sub_pdf = pd.concat(subs) if subs else pdf.iloc[0:0]
+            o = kern(sub_pdf)
+            if mode == "and":
+                o = o[o["n_terms"] == len(tids)]
+            o = o.copy()
+            o.insert(0, "query_id", qid)
+            outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    return kernel
+
+
+def wand_topk_batch(
+    spark: SparkSession,
+    index_dir: str | Path,
+    queries: dict[str, tuple[list[str], str]],
+    k: int = 10,
+    round_dp: int | None = 5,
+) -> DataFrame:
+    """Top-k for MANY queries in ONE job: (query_id, doc_id, score).
+
+    The concurrent-load shape (Msg39 serving many queries per shard,
+    SURVEY.md §2.6): a per-query Spark job pays scheduling + scan setup
+    per query — fine for one user, wrong for a query stream. This
+    batches N queries into one partition-pruned scan over the UNION of
+    their term buckets (Catalyst prunes exactly as for one query — the
+    isin sets are just wider), one per-salt kernel pass that runs each
+    query's unchanged single-query kernel over its own term groups, and
+    one per-query driver-side merge (window rank over
+    ≤ n_salts × k × |Q| rows). Per-query results are rank-identical to
+    wand_topk (tested, both tombstone paths); amortization is the
+    whole point — job count is O(1) in |Q|.
+
+    ``queries`` = {query_id: (terms, mode)}. Queries whose required
+    term is missing (AND) or with no known terms contribute no rows —
+    the same empty-result semantics as wand_topk per query."""
+    meta = load_meta(index_dir)
+    n_buckets = meta["config"]["n_buckets"]
+    all_terms = sorted({t for terms, _m in queries.values() for t in terms})
+    trows = query_term_rows(spark, index_dir, all_terms)
+    tid_of = {r["term"]: int(r["term_id"]) for r in trows}
+
+    resolved: list[tuple[str, list[int], str]] = []
+    for qid, (terms, mode) in sorted(queries.items()):
+        found = [t for t in set(terms) if t in tid_of]
+        if not found or (mode == "and" and len(found) < len(set(terms))):
+            continue  # empty result for this query (default-AND semantics)
+        resolved.append((qid, sorted({tid_of[t] for t in found}), mode))
+    if not resolved:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    tids = sorted({t for _q, ts, _m in resolved for t in ts})
+    buckets = sorted({t % n_buckets for t in tids})
+
+    seg = spark.read.parquet(str(Path(index_dir) / "segments"))
+    seg = seg.filter(
+        F.col("generation").isin([int(g) for g in meta["generations"]])
+        & F.col("bucket").isin(buckets)
+        & F.col("term_id").isin(tids)
+    ).select(*KERNEL_INPUT_COLS)
+
+    scoring = scoring_ctx(meta, trows)
+    tombstones_arrays, ts_df = tombstones_plan(spark, index_dir)
+    if ts_df is None:
+        kernel = make_batch_salt_kernel(resolved, k, tombstones_arrays, scoring)
+        local = seg.groupBy("salt").applyInPandas(kernel, BATCH_KERNEL_SCHEMA)
+    else:
+        # mass-delete path: identical cogrouped shipping to wand_topk
+        # (see the rationale there — global tombstones replicated per
+        # salt keep cross-generation salt drift safe)
+        n_salts = meta["config"]["n_salts"]
+        ts = ts_df.crossJoin(
+            spark.range(n_salts).select(F.col("id").cast("int").alias("salt"))
+        )
+        base_kernel = make_batch_salt_kernel(resolved, k, None, scoring)
+
+        def cokernel(seg_pdf: pd.DataFrame, ts_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(seg_pdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": [], "n_terms": []}
+                ).astype(
+                    {
+                        "query_id": "object",
+                        "doc_id": "int64",
+                        "score": "float64",
+                        "n_terms": "int32",
+                    }
+                )
+            arrays = _arrays_from_pdf(ts_pdf[["doc_id", "before_generation"]])
+            if arrays is None:
+                return base_kernel(seg_pdf)
+            return make_batch_salt_kernel(resolved, k, arrays, scoring)(seg_pdf)
+
+        local = (
+            seg.groupBy("salt")
+            .cogroup(ts.groupBy("salt"))
+            .applyInPandas(cokernel, BATCH_KERNEL_SCHEMA)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "n_terms")
+    )
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    return out.select("query_id", "doc_id", score.alias("score"))

@@ -336,3 +336,17 @@ def bm25_grouped_sql(groups: list[list[str]], k: int = 10) -> str:
 )
 SELECT doc_id, ROUND(s, 5) AS score
 FROM agg ORDER BY s DESC, doc_id ASC LIMIT {k}"""
+
+
+def bm25_topk_batch_sql(queries: dict, k: int = 10) -> str:
+    """Mirror of wand.wand_topk_batch: per-query bm25_topk_sql results
+    tagged with their query_id and unioned — the batch API must be
+    rank-identical to N independent queries, so its oracle IS N
+    independent oracles."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM (\n"
+        + bm25_topk_sql(terms, k=k, mode=mode)
+        + "\n)"
+        for qid, (terms, mode) in sorted(queries.items())
+    ]
+    return "\nUNION ALL\n".join(parts)

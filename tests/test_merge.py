@@ -671,3 +671,44 @@ def test_recover_swaps_epoch_matrix(spark, corpora, tmp_path):
     shutil.copytree(old, nxt)
     merge.B.load_meta(d, recover=True)
     assert td.exists() and not nxt.exists() and not old.exists()
+
+
+def test_wand_batch_matches_single_queries(spark, corpora, tmp_path, monkeypatch):
+    """wand_topk_batch must be rank-identical, per query, to N
+    independent wand_topk calls — on a mutated (add + mass-delete)
+    store, on BOTH tombstone paths, including empty-result semantics
+    for a missing required term."""
+    base, extra, full = corpora
+    d = tmp_path / "idx_batch"
+    builder.build_index(
+        spark, base, d, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+    merge.add_documents(spark, extra, d)
+    dead = full.select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    merge.delete_documents(spark, d, dead)
+
+    Q = {
+        "or2": (["def", "return"], "or"),
+        "and2": (["scan", "merge"], "and"),
+        "and_missing": (["scan", "zzz_not_a_term"], "and"),
+        "single": (["index"], "and"),
+    }
+
+    def check():
+        batch = wand.wand_topk_batch(spark, d, Q, k=25).toPandas()
+        for qid, (terms, mode) in Q.items():
+            want = wand.wand_topk(spark, d, terms, k=25, mode=mode).toPandas()
+            got = (
+                batch[batch["query_id"] == qid][["doc_id", "score"]]
+                .reset_index(drop=True)
+            )
+            assert list(got["doc_id"]) == list(want["doc_id"]), qid
+            assert got["score"].tolist() == pytest.approx(want["score"].tolist())
+        assert not any(int(x) % 5 == 0 for x in batch["doc_id"])
+        assert len(batch[batch["query_id"] == "and_missing"]) == 0
+        assert len(batch) > 0
+
+    check()  # driver-array tombstones
+    monkeypatch.setattr(wand, "TOMBSTONE_DRIVER_MAX_BYTES", -1)
+    check()  # cogrouped tombstone shuffle
+    monkeypatch.undo()
