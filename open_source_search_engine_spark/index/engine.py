@@ -166,6 +166,48 @@ class QueryEngine:
         )
         return out.select("doc_id", score.alias("score"))
 
+    def topk_batch(
+        self,
+        queries: dict[str, tuple[list[str], str]],
+        k: int = 10,
+        round_dp: int | None = 5,
+    ) -> DataFrame:
+        """Warm-path wand_topk_batch: N queries in ONE job over the
+        engine's persisted listings — (query_id, doc_id, score),
+        rank-identical per query to topk() (the concurrent-load shape;
+        see wand.wand_topk_batch). Tombstones ride the same
+        size-switched plan as every warm read."""
+        self._maybe_refresh()
+        all_terms = sorted({t for terms, _m in queries.values() for t in terms})
+        trows = [
+            r.asDict()
+            for r in self.term_dict.filter(F.col("term").isin(all_terms)).collect()
+        ]
+        tid_of = {r["term"]: int(r["term_id"]) for r in trows}
+        resolved = W.resolve_batch_queries(queries, tid_of)
+        if not resolved:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        tids = sorted({t for _q, ts, _m in resolved for t in ts})
+        buckets = sorted({t % self.n_buckets for t in tids})
+        seg = self.segments.filter(
+            F.col("generation").isin([int(g) for g in self.meta["generations"]])
+            & F.col("bucket").isin(buckets)
+            & F.col("term_id").isin(tids)
+        ).select(*W.KERNEL_INPUT_COLS)
+        from open_source_search_engine_spark.index.lists import (
+            apply_tombstone_aware,
+        )
+
+        scoring = W.scoring_ctx(self.meta, trows)
+        local = apply_tombstone_aware(
+            self.spark, self, seg, ("salt",),
+            lambda arrays: W.make_batch_salt_kernel(resolved, k, arrays, scoring),
+            W.BATCH_KERNEL_SCHEMA,
+        )
+        return W.merge_batch_topk(local, k, round_dp)
+
     # ---- ergonomic delegates over the shared indexed operators ----
 
     def facets(self, terms: list[str], facet_col: str = "lang") -> DataFrame:

@@ -460,6 +460,37 @@ def make_batch_salt_kernel(
     return kernel
 
 
+def resolve_batch_queries(
+    queries: dict[str, tuple[list[str], str]], tid_of: dict[str, int]
+) -> list[tuple[str, list[int], str]]:
+    """[(query_id, tids sorted, mode)] with per-query empty-result
+    semantics applied: a required term with no posting list (AND) or a
+    query with no known terms contributes nothing — identical to
+    wand_topk's default-AND handling, per query."""
+    resolved: list[tuple[str, list[int], str]] = []
+    for qid, (terms, mode) in sorted(queries.items()):
+        found = [t for t in set(terms) if t in tid_of]
+        if not found or (mode == "and" and len(found) < len(set(terms))):
+            continue
+        resolved.append((qid, sorted({tid_of[t] for t in found}), mode))
+    return resolved
+
+
+def merge_batch_topk(local: DataFrame, k: int, round_dp: int | None) -> DataFrame:
+    """Per-query driver-side merge: window rank over the per-salt
+    candidates (≤ n_salts × k rows per query)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "n_terms")
+    )
+    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
+    return out.select("query_id", "doc_id", score.alias("score"))
+
+
 def wand_topk_batch(
     spark: SparkSession,
     index_dir: str | Path,
@@ -490,12 +521,7 @@ def wand_topk_batch(
     trows = query_term_rows(spark, index_dir, all_terms)
     tid_of = {r["term"]: int(r["term_id"]) for r in trows}
 
-    resolved: list[tuple[str, list[int], str]] = []
-    for qid, (terms, mode) in sorted(queries.items()):
-        found = [t for t in set(terms) if t in tid_of]
-        if not found or (mode == "and" and len(found) < len(set(terms))):
-            continue  # empty result for this query (default-AND semantics)
-        resolved.append((qid, sorted({tid_of[t] for t in found}), mode))
+    resolved = resolve_batch_queries(queries, tid_of)
     if not resolved:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
@@ -546,13 +572,4 @@ def wand_topk_batch(
             .cogroup(ts.groupBy("salt"))
             .applyInPandas(cokernel, BATCH_KERNEL_SCHEMA)
         )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    out = (
-        local.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn", "n_terms")
-    )
-    score = F.round(F.col("score"), round_dp) if round_dp is not None else F.col("score")
-    return out.select("query_id", "doc_id", score.alias("score"))
+    return merge_batch_topk(local, k, round_dp)

@@ -109,3 +109,36 @@ def test_engine_auto_refresh_sees_committed_writes(
         assert eng.topk(["zzzautorefresh"], k=5).count() == 0
     finally:
         eng.close()
+
+
+def test_engine_topk_batch_matches_topk(spark, eng_index, monkeypatch):
+    """Warm-path batch must be rank-identical, per query, to serial
+    engine.topk on both tombstone paths."""
+    Q = {
+        "and2": (["def", "return"], "and"),
+        "or2": (["dup", "if"], "or"),
+        "missing": (["def", "zzz_not_a_term"], "and"),
+    }
+    eng = QueryEngine(spark, eng_index, auto_refresh=False)
+    try:
+        def check():
+            batch = eng.topk_batch(Q, k=10).toPandas()
+            for qid, (terms, mode) in Q.items():
+                want = eng.topk(terms, k=10, mode=mode).toPandas()
+                got = (
+                    batch[batch["query_id"] == qid][["doc_id", "score"]]
+                    .reset_index(drop=True)
+                )
+                assert list(got["doc_id"]) == list(want["doc_id"]), qid
+                assert got["score"].tolist() == pytest.approx(
+                    want["score"].tolist()
+                ), qid
+            assert len(batch[batch["query_id"] == "missing"]) == 0
+            assert len(batch) > 0
+
+        check()
+        monkeypatch.setattr(wand, "TOMBSTONE_DRIVER_MAX_BYTES", -1)
+        check()
+        monkeypatch.undo()
+    finally:
+        eng.close()
