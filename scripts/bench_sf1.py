@@ -177,7 +177,7 @@ def main() -> None:
     print(json.dumps(summary))
     md = f"""
 
-## §sf1 — production-layout build at 1.08M docs (r03)
+## §sf1 — production-layout build at 1.08M docs (re-measurement)
 
 One order of magnitude over the per-round sf0.1 bench, at the layout a
 large deployment would start from (n_buckets=512, n_salts=16,
