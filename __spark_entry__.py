@@ -349,6 +349,39 @@ def _wand_batch_q():
     return run
 
 
+def _streaming_query_q():
+    """The SAME pinned batch served through the Structured Streaming
+    query server (streaming/query_server.py): queries land as a file
+    stream, one availableNow micro-batch serves them via
+    wand_topk_batch, results read back from the sink — end-to-end
+    stream-serving path, same oracle as the batch entry."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from open_source_search_engine_spark.streaming.query_server import (
+            QUERY_STREAM_SCHEMA,
+            read_results,
+            start_query_server,
+        )
+
+        idx = _segment_index(spark, sf_dir)
+        work = Path(tempfile.mkdtemp(prefix="osse_qserve_"))
+        rows = [(qid, terms, mode) for qid, (terms, mode) in BATCH_QUERIES.items()]
+        spark.createDataFrame(rows, QUERY_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(work / "queries"))
+        q = start_query_server(
+            spark, idx, work / "queries", work / "results", work / "ckpt", k=10
+        )
+        q.awaitTermination(300)
+        return read_results(spark, work / "results").select(
+            "query_id", "doc_id", "score"
+        )
+
+    return run
+
+
 def _segment_index_stopworded(spark: SparkSession, sf_dir: str) -> Path:
     """Store built with stopwords enabled (X6 — Words.cpp isStopWord /
     the indexable-word filter): doc_len, df and avgdl all reflect the
@@ -460,6 +493,9 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (one pruned scan over the union of term buckets, per-query
         # kernel, per-query merge) — must be rank-identical per query
         "wand_topk_batch": _wand_batch_q(),
+        # the same batch through the Structured Streaming query server
+        # (query file stream → foreachBatch wand_topk_batch → sink)
+        "streaming_query_topk": _streaming_query_q(),
         # --- index-backed operators (index/lists.py + operators/
         # indexed.py): the SAME oracles as the corpus-algebra entries
         # above, but served entirely from the segment store — decoded
@@ -562,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, k=10, mode="and", stopwords=STOPWORDS_FIXTURE
         ),
         "wand_topk_batch": osql.bm25_topk_batch_sql(BATCH_QUERIES, k=10),
+        "streaming_query_topk": osql.bm25_topk_batch_sql(BATCH_QUERIES, k=10),
         # indexed twins: IDENTICAL oracles to the corpus-algebra
         # entries — the driver proves the segment store serves every
         # operator with the same answers
@@ -852,6 +889,8 @@ _SUITES: dict[str, list[tuple[str, str]]] = {
         # an extra query_id column, union-aligned by name (NULL on the
         # single-query variants — the ann suite's ivf_batch pattern)
         ("batch", "wand_topk_batch"),
+        # and through the Structured Streaming query server end to end
+        ("stream", "streaming_query_topk"),
     ],
     "query_language": [
         ("basic", "query_language"),

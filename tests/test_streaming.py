@@ -196,3 +196,69 @@ def test_streaming_with_merge_policy_bounds_generations(spark, tmp_path):
     seen = set(got["doc_id"])
     for lo in (120, 160, 200):
         assert any(lo <= d < lo + 40 for d in seen), lo
+
+
+def test_streaming_query_server(spark, tmp_path):
+    """Queries arrive as a stream; each micro-batch is served by ONE
+    wand_topk_batch job; results are rank-identical per query to
+    wand_topk, and a second wave served from the same checkpoint
+    appends its own batch partition without reprocessing wave 1."""
+    import pandas as pd
+
+    from open_source_search_engine_spark.streaming.query_server import (
+        QUERY_STREAM_SCHEMA,
+        read_results,
+        start_query_server,
+    )
+
+    idx = tmp_path / "idx"
+    qdir = tmp_path / "queries"
+    rdir = tmp_path / "results"
+    ckpt = tmp_path / "qckpt"
+
+    docs = spark.createDataFrame(gen_corpus(n_docs=240))
+    builder.build_index(
+        spark, docs, idx, cfg=TEST_CFG, text_col="content", tokenizer_mode="code"
+    )
+
+    wave1 = [
+        ("w1_and", ["def", "return"], "and"),
+        ("w1_or", ["dup", "if"], "or"),
+        ("w1_missing", ["def", "zzz_not_a_term"], "and"),
+    ]
+    spark.createDataFrame(wave1, QUERY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(qdir))
+    q = start_query_server(spark, idx, qdir, rdir, ckpt, k=10)
+    q.awaitTermination(180)
+
+    res = read_results(spark, rdir).toPandas()
+    assert set(res["batch"]) == {0}
+    for qid, terms, mode in wave1:
+        want = wand.wand_topk(spark, idx, terms, k=10, mode=mode).toPandas()
+        got = (
+            res[res["query_id"] == qid]
+            .sort_values("score", ascending=False)[["doc_id", "score"]]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), qid
+    assert len(res[res["query_id"] == "w1_missing"]) == 0
+
+    # wave 2 from the SAME checkpoint: only the new file is served
+    wave2 = [("w2_single", ["scan"], "and")]
+    spark.createDataFrame(wave2, QUERY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(qdir))
+    q2 = start_query_server(spark, idx, qdir, rdir, ckpt, k=10)
+    q2.awaitTermination(180)
+
+    res2 = read_results(spark, rdir).toPandas()
+    assert set(res2["batch"]) == {0, 1}
+    assert set(res2[res2["batch"] == 1]["query_id"]) == {"w2_single"}
+    want = wand.wand_topk(spark, idx, ["scan"], k=10, mode="and").toPandas()
+    got = (
+        res2[res2["query_id"] == "w2_single"]
+        .sort_values("score", ascending=False)[["doc_id", "score"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
